@@ -1,0 +1,155 @@
+"""URL scalar functions (SURVEY.md §2.3 F11-F12, generalized per the north
+rule: canonical_url → xxhash64 keys the URL-seen dedup).
+
+The canonicalizer generalizes the reference's ad-hoc id extraction
+(/root/reference/app/scrapers/sunfar.py:55-64 — ``url.split('id=')[1]``) into
+a full, idempotent canonical form:
+
+    1. strip fragment
+    2. lowercase scheme and host
+    3. strip default ports (:80 http, :443 https) and trailing host dots
+    4. collapse duplicate slashes in path; '' → '/'; strip trailing slash
+    5. drop tracking params (utm_*, fbclid, gclid, ref) and empty params
+    6. sort remaining query params bytewise
+
+Everything is a native Column expression chain (regexp + higher-order array
+functions) so the 10^10-row frontier pass stays inside whole-stage codegen;
+the identical algorithm is expressible in DuckDB SQL for the oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    u = F.trim(_col(col))
+    u = F.regexp_replace(u, r"#.*$", "")  # strip fragment
+
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_extract(tail, r"^([^?#]*)", 1)
+    qs = F.regexp_extract(tail, r"\?([^#]*)", 1)
+
+    host = F.regexp_replace(hostport, r"\.+(?=:|$)", "")  # trailing dots
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    )
+
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
+
+    params = F.split(qs, "&")
+    kept = F.filter(
+        params,
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    qs_norm = F.array_join(F.array_sort(kept), "&")
+
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs_norm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs_norm)),
+    )
+
+
+DUCKDB_CANONICAL_CTE = r"""
+canon_base AS (
+    SELECT *, regexp_replace(trim({url_expr}), '#.*$', '') AS _u
+    FROM {source}
+),
+canon_split AS (
+    SELECT *,
+        lower(regexp_extract(_u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS _scheme,
+        regexp_replace(_u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS _rest
+    FROM canon_base
+),
+canon_parts AS (
+    SELECT *,
+        lower(regexp_extract(_rest, '^([^/?#]*)', 1)) AS _hostport,
+        regexp_replace(_rest, '^[^/?#]*', '') AS _tail
+    FROM canon_split
+),
+canon_pieces AS (
+    SELECT *,
+        regexp_extract(_tail, '^([^?#]*)', 1) AS _path0,
+        regexp_extract(_tail, '\?([^#]*)', 1) AS _qs,
+        CASE
+            WHEN _scheme = 'http'  THEN regexp_replace(regexp_replace(_hostport, '\.+(?=:|$)', ''), ':80$', '')
+            WHEN _scheme = 'https' THEN regexp_replace(regexp_replace(_hostport, '\.+(?=:|$)', ''), ':443$', '')
+            ELSE regexp_replace(_hostport, '\.+(?=:|$)', '')
+        END AS _host
+    FROM canon_parts
+),
+canon_norm AS (
+    SELECT *,
+        CASE WHEN _p1 = '' THEN '/'
+             WHEN _p1 <> '/' THEN regexp_replace(_p1, '/$', '')
+             ELSE _p1 END AS _path
+    FROM (SELECT *, regexp_replace(_path0, '/{{2,}}', '/', 'g') AS _p1 FROM canon_pieces)
+),
+canon AS (
+    SELECT *,
+        _scheme || '://' || _host || _path ||
+        CASE WHEN _qsn = '' THEN '' ELSE '?' || _qsn END AS canonical_url
+    FROM (
+        SELECT *, array_to_string(list_sort(list_filter(string_split(_qs, '&'),
+            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS _qsn
+        FROM canon_norm
+    )
+)
+"""
+
+
+def duckdb_canonical_cte(source: str, url_expr: str) -> str:
+    """DuckDB CTE chain mirroring :func:`canonicalize_url` step-for-step.
+
+    Usage: ``f"WITH {duckdb_canonical_cte('frontier_view','url')} SELECT
+    canonical_url ... FROM canon"``. Keeping the mirror next to the Spark
+    implementation makes drift visible in review. Note DuckDB's
+    ``regexp_replace`` needs the explicit 'g' flag where Spark always
+    replaces globally (only the slash-collapse step is non-anchored here).
+    """
+    return DUCKDB_CANONICAL_CTE.format(source=source, url_expr=url_expr)
+
+
+def url_hash(col: Column | str) -> Column:
+    """xxhash64 of the canonical URL — the frontier/seen key (north rule)."""
+    return F.xxhash64(_col(col))
+
+
+def url_host(col: Column | str) -> Column:
+    c = _col(col)
+    return F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)", 1)
+    )
+
+
+def absolutize(url: Column | str, base: Column | str) -> Column:
+    """F11 — relative href/src → absolute (reference: prefix join, e.g.
+    /root/reference/app/scrapers/pchome.py:117-123)."""
+    u, b = _col(url), _col(base)
+    return (
+        F.when(u.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), u)
+        .when(u.startswith("//"), F.concat(F.lit("https:"), u))
+        .when(u.startswith("/"), F.concat(F.regexp_replace(b, r"(://[^/]+).*$", r"$1"), u))
+        .otherwise(F.concat(F.regexp_replace(b, r"/[^/]*$", "/"), u))
+    )
+
+
+def extract_url_id(col: Column | str) -> Column:
+    """F12 — sunfar.py:55-64 ``id=`` param extraction."""
+    return F.regexp_extract(_col(col), r"id=([^&]+)", 1)

@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the crawl/analytics engine.
+
+Design notes (100 TB posture):
+  * AQE on — runtime coalescing of shuffle partitions + skew-join splitting
+    (the reference has one mega-host dominating the frontier, SURVEY §2.10 C6).
+  * Arrow on — every Python crossing is a vectorized pandas UDF batch.
+  * shuffle.partitions defaults to 2×cores locally; on a real cluster this is
+    overridden by AQE's coalescing from the initial 'auto' anyway.
+  * No collect-driven logic anywhere in the library; the session factory is
+    the only place that knows about local[] at all.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "price_crawler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` only matters in this sandbox (local mode); on a cluster the
+    master URL comes from spark-submit and this argument is ignored.
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cores}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read driver parquet tables; returns a dict name -> DataFrame."""
+    if not names:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,166 @@
+"""Unit tests for the scalar function library (SURVEY.md §2.3) against the
+reference's documented behaviors (golden input/output pairs derived from
+/root/reference/app/utils/price_formatter.py, base_scraper.py, coolpc.py,
+product_matcher.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from price_crawler_spark.functions import names, prices, text, urls
+
+
+def _vals(spark, fn, inputs):
+    df = spark.createDataFrame([(x,) for x in inputs], ["s"])
+    return [r[0] for r in df.select(fn(F.col("s")).alias("v")).collect()]
+
+
+# ---- F1-F4 price ------------------------------------------------------------
+
+def test_extract_price(spark):
+    cases = {
+        "NT$1,234": 1234.0,
+        "NT$ 45,000": 45000.0,
+        "1,234元": 1234.0,
+        "$45000": 45000.0,
+        "特價 12,999 元": 12999.0,
+        "￥ 99.95": 99.95,
+        "no digits here": None,
+        "": None,
+    }
+    got = _vals(spark, prices.extract_price, list(cases))
+    assert got == list(cases.values())
+
+
+def test_extract_price_strict_floor(spark):
+    got = _vals(spark, prices.extract_price_strict, ["$99", "$101", "$5,000"])
+    assert got == [None, 101.0, 5000.0]
+
+
+def test_is_valid_price(spark):
+    df = spark.createDataFrame([(1.0,), (0.0,), (-5.0,), (None,)], "p double")
+    got = [r[0] for r in df.select(prices.is_valid_price("p")).collect()]
+    assert got == [True, False, False, False]
+
+
+def test_format_price(spark):
+    got = _vals(spark, prices.format_price, [45000.0, 999.4])
+    assert got == ["NT$ 45,000", "NT$ 999"]
+
+
+# ---- F5-F9 names ------------------------------------------------------------
+
+def test_clean_product_name(spark):
+    got = _vals(
+        spark,
+        names.clean_product_name,
+        ["ASUS  ROG   RTX 4090 [限量] (白色) 【電競】 OC"],
+    )
+    # Reference collapses whitespace BEFORE bracket stripping and never
+    # re-collapses (base_scraper.py:118-136) — gaps remain. Parity kept.
+    assert got == ["ASUS ROG RTX 4090    OC"]
+
+
+def test_normalize_product_name(spark):
+    got = _vals(
+        spark,
+        names.normalize_product_name,
+        ["NVIDIA GeForce RTX 4090", "Intel Core i9-14900K", "AMD Ryzen 9 7950X"],
+    )
+    assert got == ["NVIDIA GTX RTX 4090", "Intel i9-14900K", "AMD 9 7950X"]
+
+
+def test_coolpc_mojibake_fixes(spark):
+    got = _vals(
+        spark,
+        names.coolpc_clean_name,
+        ["RTX 5080 fB760 dM", "RX 9070 XT ݭI"],
+    )
+    # 'dM' → '專案' (bare, coolpc.py:193); 'ݭI' → '金屬背板' (coolpc.py:201)
+    assert got == ["RTX 5080 [需搭配B760] 專案", "RX 9070 XT 金屬背板"]
+
+
+def test_normalize_search_term(spark):
+    got = _vals(spark, names.normalize_search_term, ["RTX 4090!!", "  i9-14900K  "])
+    assert got == ["rtx 4090", "i9-14900k"]
+
+
+# ---- F11-F12 urls ------------------------------------------------------------
+
+CANON_CASES = {
+    "HTTPS://Shop.Example.COM:443//a//b/?utm_source=x&b=2&a=1#frag": "https://shop.example.com/a/b?a=1&b=2",
+    "http://example.com": "http://example.com/",
+    "http://EXAMPLE.com:80/path/": "http://example.com/path",
+    "https://example.com/?": "https://example.com/",
+    "https://example.com/p?id=42&utm_campaign=z": "https://example.com/p?id=42",
+}
+
+
+def test_canonicalize_url(spark):
+    got = _vals(spark, urls.canonicalize_url, list(CANON_CASES))
+    assert got == list(CANON_CASES.values())
+
+
+def test_canonicalize_idempotent(spark):
+    once = _vals(spark, urls.canonicalize_url, list(CANON_CASES))
+    twice = _vals(spark, urls.canonicalize_url, once)
+    assert once == twice
+
+
+def test_url_host_and_id(spark):
+    assert _vals(spark, urls.url_host, ["https://Shop.Example.com/x?id=1"]) == [
+        "shop.example.com"
+    ]
+    assert _vals(spark, urls.extract_url_id, ["https://e.com/p?id=ABC9&x=1"]) == ["ABC9"]
+
+
+def test_absolutize(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/x/page.html", "/img/p.png", "https://a.com/img/p.png"),
+            ("https://a.com/x/page.html", "rel.png", "https://a.com/x/rel.png"),
+            ("https://a.com/x", "http://b.com/q", "http://b.com/q"),
+            ("https://a.com/x", "//cdn.c.com/i.jpg", "https://cdn.c.com/i.jpg"),
+        ],
+        ["base", "u", "expected"],
+    )
+    rows = df.select(urls.absolutize("u", "base").alias("got"), "expected").collect()
+    for r in rows:
+        assert r["got"] == r["expected"]
+
+
+# ---- text analysis -----------------------------------------------------------
+
+def test_token_counts(spark):
+    assert _vals(spark, text.token_count, ["a b  c", "", "  ", "one"]) == [3, 0, 0, 1]
+    assert _vals(spark, text.regex_token_count, ["a,b c!"]) == [5]
+
+
+def test_language_id(spark):
+    got = _vals(
+        spark,
+        text.language_id,
+        [
+            "the cat is in the hat and it was good",
+            "der hund ist nicht ein fisch",
+            "le chat est dans la maison pour un moment",
+            "el perro es un animal que vive por las casas",
+            "這是一段中文測試文字內容",
+            "zzz qqq xxx",
+        ],
+    )
+    assert got == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprint_matches_md5(spark):
+    import hashlib
+
+    s = "  Hello   WORLD  "
+    expected = hashlib.md5(b"hello world").hexdigest()
+    assert _vals(spark, text.fingerprint, [s]) == [expected]
+
+
+def test_shingles(spark):
+    got = _vals(spark, lambda c: text.shingles(c, 3), ["a b c d", "a b"])
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
