@@ -1,0 +1,113 @@
+"""Fetch stage — vectorized per-host batches (SURVEY.md §2.1 S1-S2).
+
+``applyInPandas`` grouped by TRUE host: one Arrow batch per host per wave,
+processed in (priority, seq_key) order — the distributed analogue of the
+reference's per-host connection pool + inter-request delay
+(base_scraper.py:30-95). In production the body of ``_fetch_batch`` holds an
+HTTP session per group (UA rotation via ``pmod(xxhash64(url), n_ua)``,
+retry/backoff, encoding fallback chain utf-8→big5→gb2312); in this sandbox
+the transport is the deterministic synthetic web
+(:mod:`price_crawler_spark.sources.synthetic`) — same shape, same failure
+semantics (deterministic transient timeouts honoring MAX_RETRIES=2,
+config.py:17).
+
+Spans/links cross the Arrow boundary as JSON strings and are parsed
+JVM-side with ``from_json`` into the typed spans array — keeps the UDF
+schema flat and the nested parse in codegen.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from price_crawler_spark.sources.synthetic import fetch_fails, synthesize_page
+
+SPANS_JSON_SCHEMA = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+_EXTRA_FIELDS = [
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("spans_json", T.StringType(), True),
+    T.StructField("links_json", T.StringType(), True),
+]
+
+
+def fetch_scheduled(sched: DataFrame) -> DataFrame:
+    """scheduled frontier rows -> rows + (ok, spans_json, links_json)."""
+    keep = [c for c in sched.columns if c != "crawl_delay"]
+    out_schema = T.StructType(
+        [f for f in sched.schema.fields if f.name in keep] + _EXTRA_FIELDS
+    )
+
+    def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Politeness order within the host (reference fetches sequentially
+        # per host; crawl_delay sleeping happens here in live mode).
+        pdf = pdf.sort_values(["priority", "seq_key"]).reset_index(drop=True)
+        oks, spans_js, links_js = [], [], []
+        for url, store, attempts in zip(pdf["url"], pdf["store"], pdf["attempts"]):
+            if fetch_fails(url, int(attempts)):
+                oks.append(False)
+                spans_js.append(None)
+                links_js.append(None)
+                continue
+            page = synthesize_page(store, url)
+            oks.append(True)
+            spans_js.append(
+                json.dumps(
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for k, t, m, o in page["spans"]
+                    ],
+                    ensure_ascii=False,
+                )
+            )
+            links_js.append(json.dumps(page["links"]))
+        out = pdf[keep].copy()
+        out["ok"] = oks
+        out["spans_json"] = spans_js
+        out["links_json"] = links_js
+        return out
+
+    return sched.select(*keep).groupBy("host").applyInPandas(
+        _fetch_batch, out_schema
+    )
+
+
+def docs_from_fetched(fetched_ok: DataFrame) -> DataFrame:
+    """fetched rows -> documents table rows (input_hint shape + provenance)."""
+    return fetched_ok.select(
+        F.col("canonical_url").alias("doc_id"),
+        F.from_json("spans_json", SPANS_JSON_SCHEMA).alias("spans"),
+        "store",
+        "wave",
+        "seq_key",
+    )
+
+
+def links_from_fetched(fetched_ok: DataFrame) -> DataFrame:
+    """Frontier expansion (S4): child URLs with crawl-order seq_keys
+    ``parent_seq_key || hex(position)``."""
+    exploded = fetched_ok.select(
+        "store",
+        "query",
+        "wave",
+        "seq_key",
+        F.posexplode(F.from_json("links_json", "array<string>")).alias(
+            "pos", "child_url"
+        ),
+    )
+    return exploded.select(
+        F.col("child_url").alias("url"),
+        "store",
+        "query",
+        (F.col("wave") + 1).alias("wave"),
+        F.concat(
+            F.col("seq_key"), F.lpad(F.conv(F.col("pos").cast("string"), 10, 16), 8, "0")
+        ).alias("seq_key"),
+    )

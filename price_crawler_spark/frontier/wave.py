@@ -1,0 +1,204 @@
+"""The crawl wave loop — iterative batch over the frontier table with
+atomic per-wave snapshot commits (SURVEY.md §2.9, §7.1 steps 3-4, 7).
+
+Each wave is one logical Iceberg commit containing: new frontier state
+(replace), Bloom shards (replace), seen-set delta (append), fetched
+documents (append), and per-host fetch lineage/metrics (append). A killed
+run resumes from the last committed wave; the interrupted wave re-runs
+idempotently (deterministic fetch; nothing partial was visible) — the north
+rule's "resumes without re-fetching or violating politeness".
+
+Crawl-order law (SURVEY §3.1): the canonical total order of fetches is
+``(wave, seq_key)`` where seq_key is the fixed-width hex path
+(query_idx, store_rank, span_pos, ...). All windows sort by it, so output
+is bit-reproducible regardless of partitioning or core count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from price_crawler_spark.frontier import politeness, seeds
+from price_crawler_spark.frontier.fetch import (
+    docs_from_fetched,
+    fetch_scheduled,
+    links_from_fetched,
+)
+from price_crawler_spark.frontier.seen import (
+    ShardedBloom,
+    dedup_in_batch,
+    filter_new,
+)
+from price_crawler_spark.functions.urls import canonicalize_url, url_host, url_hash
+from price_crawler_spark.sources.store import SnapshotStore
+from price_crawler_spark.sources.synthetic import robots_rows
+
+FRONTIER_COLS = [
+    "url",
+    "canonical_url",
+    "url_hash",
+    "host",
+    "store",
+    "query",
+    "priority",
+    "attempts",
+    "wave",
+    "status",
+    "seq_key",
+]
+
+
+class CrawlRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        queries: list[str],
+        wave_seconds: float = 60.0,
+        max_retries: int = 2,
+        bloom: ShardedBloom | None = None,
+        robots: list[dict] | None = None,
+        mega_hosts: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.store = SnapshotStore(root)
+        self.queries = sorted(queries)
+        self.wave_seconds = wave_seconds
+        self.max_retries = max_retries
+        self.bloom = bloom or ShardedBloom()
+        self.robots = spark.createDataFrame(robots or robots_rows())
+        self.mega_hosts = mega_hosts or ["www.coolpc.com.tw"]
+
+    # -- state ---------------------------------------------------------------
+
+    def _init_if_needed(self) -> None:
+        if self.store.current() is not None:
+            return
+        frontier = seeds.seed_frontier(self.spark, self.queries).select(
+            *FRONTIER_COLS
+        )
+        # First-wins enqueue dedup — coolpc's query-independent search URL
+        # appears once per query in the raw seed list but must enter the
+        # frontier exactly once (reference: URL-seen checked at enqueue).
+        frontier = dedup_in_batch(frontier)
+        seen = frontier.select("url_hash").distinct()
+        bloom_table = self.bloom.insert(frontier.select("url_hash"), None)
+        self.store.commit(
+            tables_replace={"frontier": frontier, "bloom": bloom_table},
+            tables_append={"seen": seen},
+            meta={"next_wave": 0, "queries": self.queries},
+        )
+
+    def next_wave(self) -> int:
+        return int(self.store.latest_meta().get("next_wave", 0))
+
+    def frontier(self) -> DataFrame:
+        return self.store.read(self.spark, "frontier")
+
+    def documents(self) -> DataFrame | None:
+        return self.store.read(self.spark, "documents")
+
+    def fetch_log(self) -> DataFrame | None:
+        return self.store.read(self.spark, "fetch_log")
+
+    # -- one wave ------------------------------------------------------------
+
+    def run_wave(self) -> bool:
+        """Execute one wave; returns False when the frontier is drained."""
+        self._init_if_needed()
+        wave = self.next_wave()
+        frontier = self.frontier()
+        pending = frontier.filter(F.col("status") == "pending")
+        if pending.limit(1).count() == 0:
+            return False
+
+        sched, deferred, blocked = politeness.schedule_wave(
+            pending, self.robots, self.wave_seconds
+        )
+        sched = politeness.with_host_salt(sched, self.mega_hosts).drop("host_salt")
+
+        fetched = fetch_scheduled(sched).persist()
+        ok = fetched.filter("ok")
+        failed = fetched.filter(~F.col("ok"))
+
+        # Deferred/retried rows carry their ENQUEUE wave; the crawl-order law
+        # and child enqueue wave use the ACTUAL fetch wave (this loop's).
+        docs = docs_from_fetched(ok).withColumn("wave", F.lit(wave))
+
+        children = links_from_fetched(ok).withColumn("wave", F.lit(wave + 1))
+        children = (
+            children.withColumn("canonical_url", canonicalize_url("url"))
+            .withColumn("url_hash", url_hash("canonical_url"))
+            .withColumn("host", url_host("canonical_url"))
+            .withColumn("priority", F.lit(1))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("status", F.lit("pending"))
+            .select(*FRONTIER_COLS)
+        )
+        children = dedup_in_batch(children)
+        seen = self.store.read(self.spark, "seen")
+        bloom_table = self.store.read(self.spark, "bloom")
+        new_children = filter_new(children, seen, bloom_table, self.bloom).select(
+            *FRONTIER_COLS
+        )
+
+        done_ok = ok.select(*[c for c in FRONTIER_COLS if c != "status"]).withColumn(
+            "status", F.lit("fetched")
+        )
+        retried = failed.withColumn("attempts", F.col("attempts") + 1).withColumn(
+            "status",
+            F.when(F.col("attempts") <= self.max_retries, "pending").otherwise(
+                "failed"
+            ),
+        )
+
+        history = frontier.filter(F.col("status") != "pending")
+        new_frontier = (
+            history.select(*FRONTIER_COLS)
+            .unionByName(deferred.select(*FRONTIER_COLS))
+            .unionByName(blocked.select(*FRONTIER_COLS))
+            .unionByName(done_ok.select(*FRONTIER_COLS))
+            .unionByName(retried.select(*FRONTIER_COLS))
+            .unionByName(new_children)
+        )
+
+        log = (
+            fetched.groupBy("wave", "host", "store")
+            .agg(
+                F.count("*").alias("n_scheduled"),
+                F.sum(F.col("ok").cast("int")).alias("n_ok"),
+                F.sum((~F.col("ok")).cast("int")).alias("n_failed"),
+            )
+            .withColumn("n_partitions", F.lit(self.spark.sparkContext.defaultParallelism))
+        )
+
+        new_bloom = self.bloom.insert(new_children.select("url_hash"), bloom_table)
+
+        self.store.commit(
+            tables_replace={"frontier": new_frontier, "bloom": new_bloom},
+            tables_append={
+                "seen": new_children.select("url_hash"),
+                "documents": docs,
+                "fetch_log": log,
+            },
+            meta={"next_wave": wave + 1, "queries": self.queries},
+        )
+        fetched.unpersist()
+        return True
+
+    def run(self, max_waves: int = 10) -> int:
+        """Run until drained or max_waves; returns waves executed."""
+        n = 0
+        while n < max_waves and self.run_wave():
+            n += 1
+        return n
+
+    # -- inspection ----------------------------------------------------------
+
+    def crawl_order(self) -> DataFrame:
+        """Canonical fetch order: fetched docs sorted by (wave, seq_key)."""
+        docs = self.documents()
+        return docs.orderBy("wave", "seq_key").select(
+            "wave", "seq_key", "doc_id", "store"
+        )

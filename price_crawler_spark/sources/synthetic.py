@@ -1,0 +1,224 @@
+"""Deterministic synthetic web — the sandbox stand-in for live HTTP.
+
+Every page is a pure function of ``(store, url)`` — no wall clock, no RNG
+state — so the same URL always yields the same spans and links, across
+processes, partitions, and cluster sizes. This is what makes the Spark crawl
+bit-comparable to the pure-Python reference oracle in tests
+(golden/crawl_order.json) and lets bench.py scale the frontier arbitrarily.
+
+Page archetypes mirror the reference stores (SURVEY.md §2.2):
+  * coolpc  — ONE giant query-independent page of ``option`` spans
+              (coolpc.py:63-81); all queries hit the same canonical URL, so
+              URL-seen dedup collapses them (the mega-host skew case C6).
+  * sinya / sunfar — a single ``json`` span with an embedded JSON payload
+              (sinya.py:29-136, sunfar.py:79-125).
+  * sapphire — HTML-card spans plus a ``pixel`` span (sapphire.py:146-192).
+  * dtsource / autobuy / pchome — card spans: title, price, link, image,
+              stock, button per item (pchome.py:65-164 et al.).
+
+Hashing uses md5 (stable across processes; Python's hash() is salted).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from urllib.parse import parse_qs, unquote_plus, urlparse
+
+from price_crawler_spark.frontier.seeds import MAX_RESULTS, STORE_HOST
+
+# Product catalog — fixture data from the reference's deterministic mock
+# (/root/reference/app/scrapers/mock_scraper.py:14-143, via FIXTURES.md §5).
+CATALOG = [
+    ("ASUS ROG RTX 4090 24GB GDDR6X", 45000, "24GB GDDR6X, 2520MHz"),
+    ("MSI RTX 4080 SUPER 16GB Gaming X", 35000, "16GB GDDR6X, 2550MHz"),
+    ("GIGABYTE RTX 4070 12GB WINDFORCE", 22000, "12GB GDDR6X, 2475MHz"),
+    ("ASUS TUF RTX 4060 Ti 16GB", 18000, "16GB GDDR6, 2540MHz"),
+    ("MSI RTX 4060 8GB VENTUS 2X", 12000, "8GB GDDR6, 2460MHz"),
+    ("ASUS ROG RTX 3080 10GB STRIX", 28000, "10GB GDDR6X, 1935MHz"),
+    ("MSI RTX 3070 8GB Gaming X Trio", 20000, "8GB GDDR6, 1815MHz"),
+    ("GIGABYTE RTX 3060 Ti 8GB EAGLE", 15000, "8GB GDDR6, 1695MHz"),
+    ("ASUS ROG RTX 5090 32GB STRIX", 85000, "32GB GDDR7, 2610MHz"),
+    ("MSI RTX 5080 16GB Gaming X Trio", 55000, "16GB GDDR7, 2295MHz"),
+    ("GIGABYTE RTX 5070 Ti 16GB WINDFORCE", 38000, "16GB GDDR7, 2390MHz"),
+    ("ASUS TUF RTX 5070 12GB", 28000, "12GB GDDR7, 2160MHz"),
+    ("GIGABYTE RX 9070 WINDFORCE OC 16GB", 23000, "16GB GDDR6, 2565MHz"),
+    ("MSI RX 9070 20GB Gaming Trio X (概念產品)", 24000, "20GB GDDR6, 2450MHz"),
+    ("ASUS RX 9070 XT 16GB STRIX Gaming (未來款)", 26000, "16GB GDDR6, 2680MHz"),
+    ("Intel Core i9-14900K 處理器", 15500, "24核心, 5.6GHz"),
+    ("AMD Ryzen 9 7950X3D 處理器", 18000, "16核心, 5.7GHz"),
+]
+
+OUT_OF_STOCK_TEXT = "已售完 請勿下單 僅提供報價"
+IN_STOCK_TEXT = "現貨供應"
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def _norm(s: str) -> str:
+    return s.lower().replace(" ", "").replace("-", "")
+
+
+def store_price(store: str, name: str, base: int) -> float:
+    return float(base + _h(f"{store}|{name}|price") % 2001 - 1000)
+
+
+def store_in_stock(store: str, name: str) -> bool:
+    return _h(f"{store}|{name}|stock") % 5 != 0
+
+
+def _query_of(url: str) -> str | None:
+    p = urlparse(url)
+    qs = parse_qs(p.query)
+    for key in ("keywords", "keyword", "q"):
+        if key in qs:
+            return unquote_plus(qs[key][0])
+    return None
+
+
+def catalog_matches(store: str, query: str) -> list[tuple[str, float, str, bool]]:
+    """Reference mock matching: normalized substring (mock_scraper.py:156-172)."""
+    nq = _norm(query)
+    out = []
+    for name, base, specs in CATALOG:
+        if nq in _norm(name):
+            out.append(
+                (name, store_price(store, name, base), specs, store_in_stock(store, name))
+            )
+    return out[: MAX_RESULTS.get(store, 50)]
+
+
+def _pid(store: str, name: str) -> str:
+    return hashlib.md5(f"{store}|{name}".encode()).hexdigest()[:10]
+
+
+def detail_url(store: str, name: str) -> str:
+    return f"https://{STORE_HOST[store]}/prod?id={_pid(store, name)}"
+
+
+def image_url(store: str, name: str) -> str:
+    return f"https://img.{STORE_HOST[store]}/i/{_pid(store, name)}.jpg"
+
+
+def fetch_fails(url: str, attempts: int) -> bool:
+    """Deterministic transient failure: ~1/11 URLs time out on their first
+    attempt and succeed on retry (reference retry loop base_scraper.py:60-95,
+    MAX_RETRIES=2 at config.py:17)."""
+    return attempts == 0 and _h(url + "|fail") % 11 == 0
+
+
+def synthesize_page(store: str, url: str) -> dict:
+    """(store, url) -> {'spans': [(kind,text,media_ref,offset)], 'links': [url]}.
+
+    ``links`` are the second-hop detail pages (SURVEY §2.1 S4), in span
+    order; span offsets are 0-based page order (FIXTURES.md §1).
+    """
+    path = urlparse(url).path
+    if path.startswith("/prod"):
+        return _detail_page(store, url)
+    if store == "coolpc":
+        return _coolpc_page()
+    query = _query_of(url)
+    items = catalog_matches(store, query) if query else []
+    if store in ("sinya", "sunfar"):
+        return _json_page(store, items)
+    return _card_page(store, items)
+
+
+def _coolpc_page() -> dict:
+    spans = []
+    for i, (name, base, _specs) in enumerate(CATALOG):
+        price = int(store_price("coolpc", name, base))
+        spans.append(("option", f"{name}, ${price} ★熱賣", None, i))
+    return {"spans": spans, "links": []}
+
+
+def _json_page(store: str, items) -> dict:
+    if store == "sinya":
+        payload = [
+            {
+                "prod_title": name,
+                "new_price": str(int(price)),
+                "href": detail_url(store, name),
+                "image": image_url(store, name),
+                "stock": 1 if in_stock else 0,
+            }
+            for name, price, _s, in_stock in items
+        ]
+        text = f"const results = {json.dumps(payload, ensure_ascii=False)};"
+    else:  # sunfar
+        payload = {
+            "ptlist": [
+                {
+                    "pname": name,
+                    "prod_price": str(int(price)),
+                    "id": _pid(store, name),
+                    "ps": image_url(store, name),
+                    "bd": specs,
+                    "pos_qty": 3 if in_stock else 0,
+                }
+                for name, price, specs, in_stock in items
+            ]
+        }
+        text = f"var Search_data = {json.dumps(payload, ensure_ascii=False)};"
+    links = [detail_url(store, name) for name, *_ in items]
+    return {"spans": [("json", text, None, 0)], "links": links}
+
+
+def _card_page(store: str, items) -> dict:
+    spans = []
+    links = []
+    off = 0
+    for name, price, _specs, in_stock in items:
+        link = detail_url(store, name)
+        spans.append(("title", name, None, off)); off += 1
+        spans.append(("price", f"NT${int(price):,}", None, off)); off += 1
+        spans.append(("link", None, link, off)); off += 1
+        spans.append(("image", None, image_url(store, name), off)); off += 1
+        spans.append(("stock", IN_STOCK_TEXT if in_stock else OUT_OF_STOCK_TEXT, None, off)); off += 1
+        spans.append(("button", "加入購物車" if in_stock else "補貨中", None, off)); off += 1
+        links.append(link)
+    if store == "sapphire" and items:
+        triples = ", ".join(
+            '{"id":%s,"price":%.1f,"quantity":%d}'
+            % (_h(n) % 100000, p, 3 if s else 0)
+            for n, p, _sp, s in items
+        )
+        spans.append(("pixel", f"content_ids:[...], {triples}", None, off))
+        off += 1
+    return {"spans": spans, "links": links}
+
+
+def _detail_page(store: str, url: str) -> dict:
+    pid = parse_qs(urlparse(url).query).get("id", ["?"])[0]
+    match = next(
+        ((n, b, sp) for n, b, sp in CATALOG if _pid(store, n) == pid), None
+    )
+    if match is None:
+        return {"spans": [("title", f"unknown {pid}", None, 0)], "links": []}
+    name, base, specs = match
+    spans = [
+        ("title", name, None, 0),
+        ("spec", specs, None, 1),
+        ("image", None, image_url(store, name), 2),
+        ("stock", IN_STOCK_TEXT if store_in_stock(store, name) else OUT_OF_STOCK_TEXT, None, 3),
+    ]
+    return {"spans": spans, "links": []}
+
+
+# Robots fixture (FIXTURES.md §4): isunfar asks crawl_delay=2 and denies
+# /private; coolpc is the mega-host for skew tests; everyone else 1 s.
+def robots_rows() -> list[dict]:
+    rows = []
+    for store, host in STORE_HOST.items():
+        rows.append(
+            {
+                "host": host,
+                "allow": ["/"],
+                "deny": ["/private"] if store == "sunfar" else [],
+                "crawl_delay": 2.0 if store == "sunfar" else 1.0,
+            }
+        )
+    return rows
