@@ -1,0 +1,284 @@
+"""Span extraction — the documents table → canonical products view
+(SURVEY.md §2.2 P2-P18). All pure DataFrame ops: explode + window +
+conditional aggregation ("pivot by span kind") + from_json for the embedded
+JSON archetypes. No Python UDFs anywhere in this module.
+
+Store archetypes:
+  * coolpc  — ``option`` spans, regex price/name split (coolpc.py:220-270).
+  * sinya   — embedded JSON array in a ``json`` span (sinya.py:29-136).
+  * sunfar  — ``var Search_data`` JSON, ptlist items, coalesce price fields,
+              field-priority stock (sunfar.py:79-225), id-based dedup
+              (sunfar.py:49-71).
+  * cards   — dtsource/autobuy/sapphire/pchome: title/price/link/image/
+              stock/button span groups per item (pchome.py:65-164 et al.).
+  * sapphire pixel fallback — FB-pixel triples (sapphire.py:146-192), used
+              by the reference only when the HTML card parse yields nothing.
+
+Ordering: every product carries ``seq`` = parent doc seq_key || hex(offset)
+— the deterministic total order that downstream sorts/top-k tie-break on
+(SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from price_crawler_spark.functions.names import collapse_spaces, coolpc_clean_name
+from price_crawler_spark.functions.prices import extract_price
+from price_crawler_spark.operators import predicates as P
+
+CARD_STORES = ["dtsource", "autobuy", "sapphire", "pchome"]
+
+PRODUCT_COLS = [
+    "store",
+    "product_name",
+    "price",
+    "url",
+    "in_stock",
+    "currency",
+    "image_url",
+    "specifications",
+    "is_bundle",
+    "doc_id",
+    "seq",
+]
+
+
+def _seq(seq_key, offset) -> F.Column:
+    return F.concat(seq_key, F.lpad(F.conv(offset.cast("string"), 10, 16), 8, "0"))
+
+
+def _spans(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "store", "seq_key", F.explode("spans").alias("span")
+    ).select("doc_id", "store", "seq_key", "span.*")
+
+
+def coolpc_products(docs: DataFrame) -> DataFrame:
+    """P2/P3: OPTION spans → products; keep rows with '$' and len>10
+    (coolpc.py:69-81), price = $(\\d+), name = text minus price suffix."""
+    s = _spans(docs.filter(F.col("store") == "coolpc")).filter(
+        (F.col("kind") == "option")
+        & F.col("text").contains("$")
+        & (F.length("text") > 10)
+    )
+    name_raw = F.trim(F.regexp_replace(F.col("text"), r",?\s*\$\d+.*$", ""))
+    out = (
+        s.withColumn("price", F.regexp_extract("text", r"\$(\d+)", 1).cast("double"))
+        .withColumn("product_name", coolpc_clean_name(name_raw))
+        .filter((F.col("price") > 0) & (F.col("product_name") != ""))
+        .withColumn("url", F.lit("https://www.coolpc.com.tw/evaluate.php"))
+        .withColumn("in_stock", F.lit(True))
+        .withColumn("currency", F.lit("TWD"))
+        .withColumn("image_url", F.lit(None).cast("string"))
+        .withColumn("specifications", F.lit(None).cast("string"))
+        .withColumn("is_bundle", P.coolpc_is_bundle("product_name"))
+        .withColumn("seq", _seq(F.col("seq_key"), F.col("offset")))
+    )
+    return out.select(*PRODUCT_COLS)
+
+
+def card_products(docs: DataFrame) -> DataFrame:
+    """P10/P15: card spans → one row per item. Items are delimited by their
+    ``title`` span: item_idx = running count of titles per doc (window over
+    offset — partitions are single documents, so the window is narrow)."""
+    s = _spans(docs.filter(F.col("store").isin(CARD_STORES))).filter(
+        F.col("kind").isin("title", "price", "link", "image", "stock", "button")
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    s = s.withColumn(
+        "item_idx",
+        F.sum(F.when(F.col("kind") == "title", 1).otherwise(0)).over(w) - 1,
+    ).filter(F.col("item_idx") >= 0)
+
+    def _of(kind: str, col: str):
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    grp = s.groupBy("doc_id", "store", "seq_key", "item_idx").agg(
+        _of("title", "text").alias("name_raw"),
+        _of("price", "text").alias("price_text"),
+        _of("link", "media_ref").alias("url"),
+        _of("image", "media_ref").alias("image_url"),
+        _of("stock", "text").alias("stock_text"),
+        F.min(F.when(F.col("kind") == "title", F.col("offset"))).alias("item_offset"),
+    )
+
+    name = collapse_spaces(F.col("name_raw"))
+    base_stock = P.is_in_stock(F.col("stock_text"))
+    in_stock = F.when(
+        F.col("store") == "dtsource", base_stock & P.dtsource_in_stock(name)
+    ).otherwise(base_stock)
+    is_bundle = (
+        F.when(F.col("store") == "pchome", P.pchome_is_bundle(name))
+        .when(F.col("store") == "autobuy", P.autobuy_is_bundle(name))
+        .otherwise(F.lit(False))
+    )
+    out = (
+        grp.withColumn("product_name", name)
+        .withColumn("price", extract_price(F.col("price_text")))
+        .withColumn("in_stock", in_stock)
+        .withColumn("currency", F.lit("TWD"))
+        .withColumn("specifications", F.lit(None).cast("string"))
+        .withColumn("is_bundle", is_bundle)
+        .withColumn("seq", _seq(F.col("seq_key"), F.col("item_offset")))
+        .filter(F.col("product_name").isNotNull() & (F.col("product_name") != ""))
+    )
+    return out.select(*PRODUCT_COLS)
+
+
+SINYA_ITEM_SCHEMA = (
+    "array<struct<prod_title:string,new_price:string,old_price:string,"
+    "href:string,image:string,prod_subtitle:string,stock:int,"
+    "display_price_status:string>>"
+)
+
+
+def sinya_products(docs: DataFrame) -> DataFrame:
+    """P5 + D4: ``const results = [...]`` JSON; stock 3-state collapsed to
+    in_stock only for the '有庫存' state (sinya.py:219-242, 389-391)."""
+    s = _spans(docs.filter(F.col("store") == "sinya")).filter(
+        (F.col("kind") == "json") & F.col("text").contains("const results")
+    )
+    payload = F.regexp_extract(F.col("text"), r"const results = (\[.*\]);", 1)
+    items = s.select(
+        "doc_id",
+        "store",
+        "seq_key",
+        F.posexplode(F.from_json(payload, SINYA_ITEM_SCHEMA)).alias("pos", "p"),
+    )
+    out = (
+        items.withColumn("product_name", collapse_spaces(F.col("p.prod_title")))
+        .withColumn("price", F.col("p.new_price").cast("double"))
+        .withColumn("url", F.col("p.href"))
+        .withColumn("image_url", F.col("p.image"))
+        .withColumn(
+            "in_stock",
+            F.when(F.col("p.stock") == 0, F.lit(False)).otherwise(F.lit(True)),
+        )
+        .withColumn("currency", F.lit("TWD"))
+        .withColumn("specifications", F.col("p.prod_subtitle"))
+        # D11 shares the combo-keyword core with D9 (sinya.py:332-385 uses a
+        # 30-keyword subset of the same list).
+        .withColumn("is_bundle", P.pchome_is_bundle("product_name"))
+        .withColumn("seq", _seq(F.col("seq_key"), F.col("pos")))
+    )
+    return out.select(*PRODUCT_COLS)
+
+
+SUNFAR_SCHEMA = (
+    "struct<ptlist:array<struct<pname:string,prod_price:string,"
+    "mem_price1:string,search_price2_da:string,id:string,ps:string,"
+    "bd:string,pos_qty:int,buy:string,prodseqstate_no:string>>>"
+)
+
+
+def sunfar_products(docs: DataFrame) -> DataFrame:
+    """P8/P9 + D5 + J2: Search_data JSON → ptlist items; price coalesce over
+    3 fields (sunfar.py:127-182); first-wins dedup by product id
+    (sunfar.py:49-71)."""
+    s = _spans(docs.filter(F.col("store") == "sunfar")).filter(
+        (F.col("kind") == "json") & F.col("text").contains("Search_data")
+    )
+    payload = F.regexp_extract(F.col("text"), r"var Search_data = (\{.*\});", 1)
+    items = s.select(
+        "doc_id",
+        "store",
+        "seq_key",
+        F.posexplode(F.from_json(payload, SUNFAR_SCHEMA).getField("ptlist")).alias(
+            "pos", "p"
+        ),
+    )
+    price = F.coalesce(
+        F.col("p.prod_price").cast("double"),
+        F.col("p.mem_price1").cast("double"),
+        F.col("p.search_price2_da").cast("double"),
+    )
+    out = (
+        items.withColumn("product_name", collapse_spaces(F.col("p.pname")))
+        .withColumn("price", price)
+        .withColumn(
+            "url",
+            F.format_string(
+                "https://www.isunfar.com.tw/product/proddetail.aspx?id=%s",
+                F.col("p.id"),
+            ),
+        )
+        .withColumn("image_url", F.col("p.ps"))
+        .withColumn(
+            "in_stock",
+            P.sunfar_in_stock(
+                F.col("p.pos_qty"), F.col("p.buy"), F.col("p.prodseqstate_no"), price
+            ),
+        )
+        .withColumn("currency", F.lit("TWD"))
+        .withColumn("specifications", F.col("p.bd"))
+        .withColumn("is_bundle", F.lit(False))
+        .withColumn("seq", _seq(F.col("seq_key"), F.col("pos")))
+        .withColumn(
+            "pid",
+            F.coalesce(
+                F.nullif(F.col("p.id"), F.lit("")),
+                F.concat_ws("_", "product_name", F.col("price").cast("string")),
+            ),
+        )
+    )
+    # J2 first-wins by insertion order (seq)
+    w = Window.partitionBy("pid").orderBy("seq")
+    out = out.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    return out.select(*PRODUCT_COLS)
+
+
+def sapphire_pixel_products(docs: DataFrame) -> DataFrame:
+    """P11: FB-pixel mining — {"id":N,"price":F,"quantity":Q} triples →
+    placeholder-named products (sapphire.py:146-192). The reference uses
+    this only when the HTML card parse finds nothing; exposed as its own
+    operator and unit-tested."""
+    s = _spans(docs.filter(F.col("store") == "sapphire")).filter(
+        F.col("kind") == "pixel"
+    )
+    triple = s.select(
+        "doc_id",
+        "store",
+        "seq_key",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit(r'\{"id":(\d+),"price":([0-9.]+),"quantity":(\d+)\}'),
+                0,
+            )
+        ).alias("pos", "t"),
+    )
+    parsed = triple.select(
+        "doc_id",
+        "store",
+        "seq_key",
+        "pos",
+        F.regexp_extract("t", r'"id":(\d+)', 1).alias("pid"),
+        F.regexp_extract("t", r'"price":([0-9.]+)', 1).cast("double").alias("price"),
+        F.regexp_extract("t", r'"quantity":(\d+)', 1).cast("int").alias("qty"),
+    )
+    out = (
+        parsed.withColumn(
+            "product_name", F.concat(F.lit("藍寶石產品 #"), F.col("pid"))
+        )
+        .withColumn("url", F.concat(F.lit("https://sapphiretech.cyberbiz.co/search?q="), F.col("pid")))
+        .withColumn("in_stock", F.col("qty") > 0)
+        .withColumn("currency", F.lit("TWD"))
+        .withColumn("image_url", F.lit(None).cast("string"))
+        .withColumn("specifications", F.lit(None).cast("string"))
+        .withColumn("is_bundle", F.lit(False))
+        .withColumn("seq", _seq(F.col("seq_key"), F.col("pos")))
+    )
+    return out.select(*PRODUCT_COLS)
+
+
+def extract_products(docs: DataFrame) -> DataFrame:
+    """Unified products view over all store archetypes (J0: stores are data,
+    not code paths — one DataFrame with a ``store`` column)."""
+    return (
+        coolpc_products(docs)
+        .unionByName(card_products(docs))
+        .unionByName(sinya_products(docs))
+        .unionByName(sunfar_products(docs))
+    )

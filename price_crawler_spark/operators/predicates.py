@@ -1,0 +1,167 @@
+"""Stock / bundle / standalone predicates (SURVEY.md §2.4 D1-D12).
+
+Each detector is one native boolean Column built from a broadcast-literal
+keyword array (``exists`` over the array — evaluated vectorized in codegen,
+vs. the reference's per-row Python keyword loops) plus an ``rlike`` union
+for the regex patterns. Keyword lists are data parity with the reference
+(file:line cited per detector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _contains_any(c: Column, keywords: list[str], lowercase: bool = True) -> Column:
+    target = F.lower(c) if lowercase else c
+    kws = F.array(*[F.lit(k.lower() if lowercase else k) for k in keywords])
+    return F.exists(kws, lambda k: target.contains(k))
+
+
+# D1 — base stock heuristic (base_scraper.py:105-116): empty/None → False;
+# otherwise in stock unless an out-of-stock keyword appears.
+OUT_OF_STOCK_KEYWORDS = [
+    "無庫存", "缺貨", "售完", "暫無", "預購",
+    "out of stock", "sold out", "unavailable",
+]
+
+
+def is_in_stock(stock_text: Column | str) -> Column:
+    c = _col(stock_text)
+    return F.when(
+        c.isNull() | (c == ""), F.lit(False)
+    ).otherwise(~_contains_any(c, OUT_OF_STOCK_KEYWORDS))
+
+
+# D2 — DTSource stock check over the NAME (dtsource.py:26-73).
+DTSOURCE_OOS_KEYWORDS = [
+    "已售完", "請勿下單", "僅提供報價", "已售完 請勿下單 僅提供報價",
+    "缺貨", "停產", "暫停供應", "暫無庫存", "預購", "到貨通知",
+    "客定產品", "停售",
+]
+DTSOURCE_OOS_BRACKET_RE = (
+    r"\(.*已售完.*\)|\(.*請勿下單.*\)|\(.*僅提供報價.*\)|\(.*缺貨.*\)"
+    r"|\(.*停產.*\)|\(.*暫停.*\)"
+    r"|（.*已售完.*）|（.*請勿下單.*）|（.*僅提供報價.*）|（.*缺貨.*）"
+)
+
+
+def dtsource_in_stock(name: Column | str) -> Column:
+    c = _col(name)
+    return F.when(c.isNull() | (c == ""), F.lit(False)).otherwise(
+        ~_contains_any(c, DTSOURCE_OOS_KEYWORDS, lowercase=False)
+        & ~c.rlike(DTSOURCE_OOS_BRACKET_RE)
+    )
+
+
+# D7 — CoolPC 專案/bundle detector (coolpc.py:158-171).
+COOLPC_BUNDLE_KEYWORDS = [
+    "專案", "需搭配", "cpu合購", "[需搭配", "[專案",
+    "搭配主板", "搭配cpu", "限定搭配", "合購優惠",
+    "f主板", "fcpu", "f搭配",
+]
+
+
+def coolpc_is_bundle(name: Column | str) -> Column:
+    return _contains_any(_col(name), COOLPC_BUNDLE_KEYWORDS)
+
+
+# D9 — PChome bundle detector (pchome.py:191-245).
+PCHOME_BUNDLE_KEYWORDS = [
+    "組合包", "套組", "套裝", "組合", "套餐", "大組包",
+    "加購", "搭配", "含", "附", "贈",
+    "組合價", "套餐價", "加贈", "贈送",
+    "限量組合", "特惠組合", "超值組合", "精選組合",
+    "combo", "bundle", "set", "package",
+    "買送", "購送", "送", "加1元多1件",
+    "第二件", "2件", "兩件", "三件", "四件", "五件",
+    "整組", "全套", "完整組合", "優惠組", "超值組",
+    "電競機", "電腦主機", "整機", "桌機", "桌上型電腦",
+    "主機板平台", "平台", "水冷獨顯", "獨顯水冷",
+    "筆電", "筆記型電腦", "laptop", "notebook",
+    "工作站", "workstation", "迷你電腦", "mini pc",
+    "升級版", "豪華版", "旗艦版", "限定版",
+    "合購", "搭機", "搭購", "限搭", "組裝價",
+    "雙螢幕", "雙顯示器", "三螢幕", "多螢幕",
+    "經濟組", "標準組", "進階組", "旗艦組",
+    "入門組", "基本組", "完整組", "全配組",
+    "豪華組", "精選組", "專業組", "商務組",
+]
+PCHOME_MULTI_PRODUCT_RE = (
+    r"\+\s*\w+|＋\s*\w+|含\s*\w+|送\s*\w+|\d+件|\d+組|第\d+件"
+    r"|加購.*\d+元|限時.*組合|特價.*組合"
+)
+
+
+def pchome_is_bundle(name: Column | str) -> Column:
+    c = _col(name)
+    return _contains_any(c, PCHOME_BUNDLE_KEYWORDS) | c.rlike(
+        "(?U)" + PCHOME_MULTI_PRODUCT_RE
+    )
+
+
+# D10 — AUTOBUY plus-sign bundle logic (autobuy.py:204-278, condensed to its
+# decision core): ≥2 plus signs → bundle, unless the plus belongs to a model
+# suffix like "NITRO+" (autobuy.py:241-245).
+AUTOBUY_MODEL_PLUS_RE = r"(?i)(nitro|pulse|gaming|oc)\s*\+"
+
+
+def autobuy_is_bundle(name: Column | str) -> Column:
+    c = _col(name)
+    plus_count = F.size(F.split(c, r"[+＋]")) - 1
+    model_plus = c.rlike(AUTOBUY_MODEL_PLUS_RE)
+    return (
+        _contains_any(c, PCHOME_BUNDLE_KEYWORDS[:20])  # shared combo terms
+        | ((plus_count >= 2) & ~model_plus)
+        | ((plus_count == 1) & ~model_plus & _contains_any(c, ["主機板", "機殼", "電源"]))
+    )
+
+
+# D12 — standalone heuristic fallback (product_matcher.py:152-196); used
+# only when is_bundle is absent (main.py:211-216).
+STANDALONE_COMBO_KEYWORDS = [
+    "電腦", "主機", "桌機", "pc", "desktop", "nuc", "迷你電腦",
+    "筆電", "筆記型電腦", "laptop", "notebook",
+    "工作站", "workstation",
+    "套裝", "組合", "套組", "救贖", "升級版", "雙碟版",
+    "rog strix scar", "rog strix g", "tuf gaming a", "tuf gaming f",
+    "predator", "legion", "alienware", "pavilion",
+    "stealth", "creator", "crosshair", "katana", "vector",
+    "aorus master", "aorus elite", "infinite x", "aegis",
+    "rog nuc", "intel nuc", "mini pc",
+    "ryzen", "intel", "i5", "i7", "i9", "ddr", "ssd", "hdd",
+    "記憶體", "硬碟", "散熱器", "電源", "機殼", "ultra 9", "ultra",
+    "w11", "windows", "win10", "win11",
+    "32g", "64g", "1tb", "2tb", "16g/", "32g/", "64g/",
+]
+HARDWARE_COMPONENTS = [
+    "cpu", "gpu", "ram", "ssd", "hdd", "psu", "mb", "motherboard",
+    "處理器", "顯示卡", "記憶體", "硬碟", "電源", "主機板",
+]
+
+
+def is_standalone(name: Column | str) -> Column:
+    c = F.lower(_col(name))
+    combo = _contains_any(c, STANDALONE_COMBO_KEYWORDS)
+    comps = F.array(*[F.lit(k) for k in HARDWARE_COMPONENTS])
+    n_comps = F.aggregate(
+        comps, F.lit(0), lambda acc, k: acc + F.when(c.contains(k), 1).otherwise(0)
+    )
+    return ~combo & (n_comps < 2)
+
+
+# D5 — Sunfar field-priority stock (sunfar.py:184-225): pos_qty>0 → buy flag
+# → prodseqstate_no=='1' → any price>0 → default True.
+def sunfar_in_stock(pos_qty: Column, buy: Column, state_no: Column, price: Column) -> Column:
+    return (
+        F.when(pos_qty.isNotNull(), pos_qty > 0)
+        .when(buy.isNotNull(), F.lower(buy.cast("string")).isin("1", "true", "y", "yes"))
+        .when(state_no.isNotNull(), state_no == "1")
+        .when(price.isNotNull(), price > 0)
+        .otherwise(F.lit(True))
+    )

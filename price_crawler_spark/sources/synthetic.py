@@ -116,7 +116,7 @@ def synthesize_page(store: str, url: str) -> dict:
     order; span offsets are 0-based page order (FIXTURES.md §1).
     """
     path = urlparse(url).path
-    if path.startswith("/prod"):
+    if path == "/prod":
         return _detail_page(store, url)
     if store == "coolpc":
         return _coolpc_page()
