@@ -1,0 +1,373 @@
+"""Deduplication operators for the document layer.
+
+Four families, each scale-shaped for a 100 TB corpus:
+
+  * exact_dedup        — md5 fingerprint group-by; one shuffle on the hash,
+                         map-side partial agg for the copy counts.
+  * MinHash + LSH      — shingle → per-permutation minhash (md5-keyed, so the
+                         signature is engine-independent) → banded bucket
+                         join. Only documents sharing a band bucket are ever
+                         paired, so the candidate set is ~linear in corpus
+                         size instead of O(n²); exact Jaccard verifies the
+                         candidates.
+  * SimHash            — 32-bit signature via token-md5 nibble votes; near-dup
+                         pairs found by 8-bit chunk banding (Hamming ≤ 3 ⇒ at
+                         least one of 4 chunks matches exactly — pigeonhole).
+  * blocked n-gram Jaccard — exact Jaccard restricted to cheap blocking keys
+                         (source, length band): the quadratic fallback, kept
+                         honest by blocking.
+
+Every operator has a DuckDB SQL mirror (``duckdb_*``) used by the oracle
+harness; hashing is md5-based end-to-end because md5 is bit-identical across
+Spark, DuckDB, and Python (Spark's xxhash64 seed differs from DuckDB's hash).
+The frontier URL-seen path (price_crawler_spark.frontier.seen) keeps
+xxhash64 — there the key only has to be stable *within* Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from price_crawler_spark.functions.text import shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (fingerprint, keeper, n_copies) with the
+    smallest id as keeper (first-wins, deterministic under any partitioning).
+    One hash-shuffle; min/count are map-side combinable."""
+    return (
+        docs.select(
+            normalized_fingerprint(text_col).alias("fingerprint"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def drop_exact_dupes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep only the first (min id) row of each fingerprint group."""
+    w = Window.partitionBy(normalized_fingerprint(text_col)).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duckdb_exact_dedup(table: str = "documents") -> str:
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return (
+        f"SELECT {fp} AS fingerprint, min(doc_id) AS keeper, "
+        f"count(*) AS n_copies FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_sig(sh: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` minhash values. Permutation i is the md5 of
+    the shingle salted with i — min over the shingle set. Engine-independent
+    (md5 on both sides) and cluster-size-independent (pure per-row)."""
+    mins = [
+        F.array_min(
+            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, shingles, sig) for docs with ≥1 shingle (shorter docs can't be
+    near-dup candidates at shingle size k)."""
+    sh = F.array_distinct(F.array_sort(shingles(text_col, k)))
+    return (
+        docs.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", _minhash_sig(F.col("sh"), num_hashes))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via banded LSH.
+
+    rows-per-band r = num_hashes/bands; a pair collides in a band iff that
+    band's minhash slice matches exactly, P ≈ 1-(1-j^r)^bands. Candidates are
+    verified with exact Jaccard on the shingle sets, so false positives cost
+    only the verify, never wrong output. The band join shuffles on
+    (band, key) — ~uniform since the key is an md5; no O(n²) stage anywhere.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.array_join(F.slice("sig", b * r + 1, r), "|")),
+    )
+    banded = sigs.select(
+        "id", "sh", F.posexplode(band_arr).alias("band", "key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duckdb_minhash_lsh_pairs(
+    table: str = "documents",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB mirror of :func:`minhash_lsh_pairs` (same salts, bands, order)."""
+    r = num_hashes // bands
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        f"md5(array_to_string(sig[{b * r + 1}:{b * r + r}], '|'))"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM {table}
+), sh0 AS (
+  SELECT id, CASE WHEN len(t) >= {k} THEN
+      list_transform(range(1, len(t) - {k} + 2),
+                     i -> array_to_string(t[i:i+{k - 1}], ' '))
+    ELSE [] END AS shr
+  FROM toks
+), shs AS (
+  SELECT id, list_distinct(shr) AS sh FROM sh0 WHERE len(shr) > 0
+), sigs AS (
+  SELECT id, sh, [{mins}] AS sig FROM shs
+), banded AS (
+  SELECT id, sh, unnest(range(0, {bands})) AS band,
+         unnest([{band_keys}]) AS key
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+               len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand c
+  JOIN shs sa ON sa.id = c.id_a
+  JOIN shs sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+SIMHASH_BITS = 32
+
+
+def _nibble_bit_sql_duckdb(h: str, bit: int) -> str:
+    """bit ``bit`` (0 = MSB) of md5-hex column ``h`` in DuckDB SQL."""
+    nib = f"(strpos('{_HEX}', substr({h}, {bit // 4 + 1}, 1)) - 1)"
+    shift = 3 - (bit % 4)
+    return f"(({nib} // {2 ** shift}) % 2)"
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash BIGINT): 32-bit simhash over whitespace tokens (with
+    multiplicity). Bit b is set iff the sum over tokens of ±1 (by bit b of
+    md5(token)) is ≥ 0. One explode + one groupBy — the aggregation is 32
+    map-side-combinable sums, so the shuffle carries 32 ints per doc."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+
+    def bit(b: int) -> Column:
+        nib = (
+            F.instr(F.lit(_HEX), F.substring("h", b // 4 + 1, 1)) - 1
+        )
+        return F.floor(nib / (2 ** (3 - (b % 4)))) % 2
+
+    votes = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(2 ** (SIMHASH_BITS - 1 - b))).otherwise(
+            F.lit(0)
+        )
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def duckdb_simhash(table: str = "documents") -> str:
+    bits = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"sum(CASE WHEN {_nibble_bit_sql_duckdb('h', b)} = 1 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        bits.append(
+            f"(CASE WHEN {vote} >= 0 THEN {2 ** (SIMHASH_BITS - 1 - b)} ELSE 0 END)"
+        )
+    total = " + ".join(bits)
+    return f"""
+WITH ex AS (
+  SELECT doc_id AS id,
+         md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h
+  FROM {table}
+)
+SELECT id, CAST({total} AS BIGINT) AS simhash FROM ex GROUP BY id
+"""
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 8-bit chunk banding (Hamming ≤ 3 over 4
+    chunks ⇒ some chunk equal) then exact Hamming verify via bit_count(xor).
+    """
+    sims = simhash(docs)
+    chunks = F.array(
+        *[
+            F.shiftright("simhash", c * 8).bitwiseAND(F.lit(255))
+            for c in range(4)
+        ]
+    )
+    banded = sims.select(
+        "id", "simhash", F.posexplode(chunks).alias("chunk", "val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked n-gram Jaccard (exact, quadratic within blocks only)
+# ---------------------------------------------------------------------------
+
+def blocked_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("source",),
+    k: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Exact k-gram Jaccard for pairs sharing a blocking key; global top-N
+    by (jaccard desc, id_a, id_b) — fully deterministic. The self-join
+    shuffles on the block key; block sizing bounds the quadratic term."""
+    sh = F.array_distinct(F.array_sort(shingles(text_col, k)))
+    base = docs.select(
+        F.col(id_col).alias("id"), *block_cols, sh.alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_distinct(F.concat("a.sh", "b.sh")))
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .drop("_rn")
+    )
+
+
+def duckdb_blocked_jaccard_pairs(
+    table: str = "documents", k: int = 3, top_n: int = 20
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, source,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM {table}
+), shs AS (
+  SELECT id, source, list_distinct(
+    list_transform(range(1, len(t) - {k} + 2),
+                   i -> array_to_string(t[i:i+{k - 1}], ' '))) AS sh
+  FROM toks WHERE len(t) >= {k}
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM shs a JOIN shs b ON a.source = b.source AND a.id < b.id
+)
+SELECT id_a, id_b, jaccard FROM pairs
+ORDER BY jaccard DESC, id_a, id_b LIMIT {top_n}
+"""

@@ -1,0 +1,150 @@
+"""Training-data pipeline layer: Spark ↔ DuckDB oracle parity on the
+driver's documents/embeddings tables (sf0.001), mirroring the driver's
+order-insensitive value compare."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from price_crawler_spark.pipeline import ann, dedup, multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def assert_same(spark_df, duck_rel, sort_cols=None):
+    s = spark_df.toPandas()
+    d = duck_rel.df()
+    assert list(sorted(s.columns)) == list(sorted(d.columns))
+    cols = sort_cols or sorted(s.columns)
+    s = s[sorted(s.columns)].sort_values(cols).reset_index(drop=True)
+    d = d[sorted(d.columns)].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, d, check_dtype=False)
+
+
+def test_exact_dedup_matches_duckdb(docs, duck):
+    assert_same(dedup.exact_dedup(docs), duck.sql(dedup.duckdb_exact_dedup()))
+
+
+def test_drop_exact_dupes_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "A b"), (3, "c")], ["doc_id", "text"]
+    )
+    kept = sorted(r.doc_id for r in dedup.drop_exact_dupes(df).collect())
+    assert kept == [1, 3]  # 2 is a normalized dup of 1
+
+
+def test_minhash_lsh_pairs_match_duckdb(docs, duck):
+    assert_same(
+        dedup.minhash_lsh_pairs(docs),
+        duck.sql(dedup.duckdb_minhash_lsh_pairs()),
+    )
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    # property: a pair with jaccard 1.0 (identical text) always collides
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+
+def test_simhash_matches_duckdb(docs, duck):
+    assert_same(dedup.simhash(docs), duck.sql(dedup.duckdb_simhash()))
+
+
+def test_simhash_near_pairs_runs(docs):
+    out = dedup.simhash_near_pairs(docs, max_hamming=8)
+    rows = out.collect()
+    for r in rows:
+        assert 0 <= r.hamming <= 8 and r.id_a < r.id_b
+
+
+def test_blocked_jaccard_matches_duckdb(docs, duck):
+    assert_same(
+        dedup.blocked_jaccard_pairs(docs),
+        duck.sql(dedup.duckdb_blocked_jaccard_pairs()),
+    )
+
+
+def test_cosine_topk_matches_duckdb(emb, duck):
+    assert_same(
+        ann.cosine_topk(emb, query_vec_id=0, k=10),
+        duck.sql(ann.duckdb_cosine_topk(0, 10)),
+        sort_cols=["vec_id"],
+    )
+
+
+def test_ivf_topk_matches_duckdb(emb, duck):
+    assert_same(
+        ann.ivf_topk(emb, query_vec_id=0, k=10),
+        duck.sql(ann.duckdb_ivf_topk(0, 10)),
+        sort_cols=["vec_id"],
+    )
+
+
+def test_ivf_results_subset_of_bruteforce_scores(emb):
+    # every IVF hit's cosine equals the brute-force cosine for that vec_id
+    brute = {r.vec_id: r.cos for r in ann.cosine_topk(emb, 0, k=1000).collect()}
+    for r in ann.ivf_topk(emb, 0, k=10).collect():
+        assert brute[r.vec_id] == r.cos
+
+
+def test_signlsh_bucket_deterministic_and_topk_consistent(emb):
+    from pyspark.sql import functions as F
+
+    b1 = emb.select(ann.signlsh_bucket(F.col("embedding")).alias("b")).collect()
+    b2 = emb.select(ann.signlsh_bucket(F.col("embedding")).alias("b")).collect()
+    assert [r.b for r in b1] == [r.b for r in b2]
+    assert all(0 <= r.b < 256 for r in b1)
+    brute = {r.vec_id: r.cos for r in ann.cosine_topk(emb, 0, k=1000).collect()}
+    hits = ann.signlsh_topk(emb, 0, k=10).collect()
+    assert len(hits) > 0
+    for r in hits:
+        assert brute[r.vec_id] == r.cos
+
+
+def test_multimodal_decode_matches_duckdb(docs, duck):
+    media = multimodal.with_media_payload(docs)
+    assert_same(
+        multimodal.decode_media(media),
+        duck.sql(multimodal.duckdb_decoded_media()),
+    )
+
+
+def test_sample_frames_matches_duckdb(docs, duck):
+    decoded = multimodal.decode_media(multimodal.with_media_payload(docs))
+    assert_same(
+        multimodal.sample_frames(decoded),
+        duck.sql(multimodal.duckdb_sampled_frames()),
+    )
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode_image(b"\x89PNG")
