@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship corpus-health query at sf0.001;
+``queries()``/``oracle_sql()`` expose the operator registry
+(price_crawler_spark.entry_queries) — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data pipeline layer, each with a
+DuckDB oracle unless genuinely non-SQL-expressible (the difflib similarity
+UDF and the conv()-based sign-LSH probe).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-source corpus health over /root/testdata/sf0.001 —
+    exact-dedup'd doc counts, mean quality, dominant language, and decoded
+    media volume, in one plan (scan → dedup window → agg → broadcast join).
+    """
+    from price_crawler_spark.functions import text as T
+    from price_crawler_spark.pipeline import dedup, multimodal
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    unique = dedup.drop_exact_dupes(docs)
+    enriched = unique.select(
+        "doc_id",
+        "source",
+        T.quality_score("text").alias("quality"),
+        T.language_id("text").alias("lang"),
+    )
+    health = enriched.groupBy("source").agg(
+        F.count("*").alias("n_unique_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.max_by("lang", F.length("lang")).alias("_"),  # placeholder drop
+        F.mode("lang").alias("top_lang"),
+    ).drop("_")
+
+    media = multimodal.decode_media(multimodal.with_media_payload(docs))
+    media_vol = media.groupBy(F.lit(1).alias("_k")).agg(
+        F.sum("payload_len").alias("total_media_bytes")
+    )
+    return (
+        health.crossJoin(F.broadcast(media_vol.drop("_k")))
+        .orderBy("source")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from price_crawler_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from price_crawler_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,695 @@
+"""Driver-contract query registry: one entry per implemented operator
+family from SURVEY.md §2 plus the training-data pipeline layer, each as a
+(spark_builder, duckdb_oracle_sql) pair over the driver's testdata tables
+(region nation customer supplier part orders lineitem events documents
+embeddings).
+
+The reference operators act on crawled product pages; the driver's tables
+are TPC-H-ish, so each query *synthesizes* the operator's input column from
+testdata deterministically (identical expression on both engines) and then
+applies the real library operator. That makes every check meaningful: the
+library expression and its hand-written ANSI mirror must agree bit-for-bit
+on 60k-row inputs, not on toy literals.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark builder and the oracle SQL (the driver sorts columns by name before
+value-hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from price_crawler_spark.functions import names, prices, text, urls
+from price_crawler_spark.operators import predicates
+from price_crawler_spark.operators.matcher import similarity_col
+from price_crawler_spark.pipeline import ann, dedup, multimodal
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def duckdb_contains_any(expr: str, keywords: list[str], lowercase: bool = True) -> str:
+    """Mirror of predicates._contains_any: OR-chain of contains()."""
+    target = f"lower({expr})" if lowercase else expr
+    kws = [k.lower() if lowercase else k for k in keywords]
+    terms = " OR ".join(
+        "contains({t}, '{k}')".format(t=target, k=k.replace("'", "''")) for k in kws
+    )
+    return f"({terms})"
+
+
+# Synthesized big price: floor(p_retailprice)*53 + p_partkey (≈ 47k-53k, so
+# the comma formatting in the price text is non-trivial).
+_BIG_SPARK = None  # built inline below
+_BIG_SQL = "(CAST(floor(p_retailprice) AS BIGINT) * 53 + p_partkey)"
+
+
+def _big_col() -> F.Column:
+    return (
+        F.floor(F.col("p_retailprice")).cast("long") * 53 + F.col("p_partkey")
+    )
+
+
+def _price_text_col() -> F.Column:
+    big = _big_col()
+    return F.concat(
+        F.lit("NT$ "),
+        F.floor(big / 1000).cast("long").cast("string"),
+        F.lit(","),
+        F.lpad((big % 1000).cast("string"), 3, "0"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("元")).otherwise(F.lit("")),
+    )
+
+
+_PRICE_TEXT_SQL = (
+    "('NT$ ' || CAST({big} // 1000 AS VARCHAR) || ',' "
+    "|| lpad(CAST({big} % 1000 AS VARCHAR), 3, '0') "
+    "|| (CASE WHEN p_partkey % 2 = 0 THEN '元' ELSE '' END))"
+).format(big=_BIG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- scalar functions: prices (F1-F4) --------------------------------------
+
+@_register(
+    "price_extract",
+    f"""SELECT p_partkey,
+       CAST(regexp_extract(regexp_replace({_PRICE_TEXT_SQL}, '[NT$￥元,，\\s]', '', 'g'),
+                           '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) AS price
+FROM part""",
+)
+def q_price_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (price_formatter.py:7-25): strip currency glyphs, first number."""
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        prices.extract_price(_price_text_col()).alias("price"),
+    )
+
+
+@_register(
+    "price_strict_filter",
+    f"""WITH px AS (
+  SELECT p_partkey,
+         CAST(regexp_extract(regexp_replace({_PRICE_TEXT_SQL}, '[NT$￥元,，\\s]', '', 'g'),
+                             '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) AS p
+  FROM part)
+SELECT p_partkey, p AS price FROM px WHERE p > 45000""",
+)
+def q_price_strict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (autobuy.py:115-141): price sanity floor filter."""
+    part = _read(spark, sf_dir, "part")
+    out = part.select(
+        "p_partkey",
+        prices.extract_price_strict(_price_text_col(), floor=45000.0).alias("price"),
+    )
+    return out.filter(F.col("price").isNotNull())
+
+
+# ---- scalar functions: names (F5-F9) ---------------------------------------
+
+@_register(
+    "name_clean",
+    """SELECT p_partkey,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+            trim(regexp_replace('[促銷] ' || p_name || ' (贈品)  【限時】', '\\s+', ' ', 'g')),
+            '\\[.*?\\]', '', 'g'), '\\(.*?\\)', '', 'g'), '【.*?】', '', 'g')) AS name
+FROM part""",
+)
+def q_name_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (base_scraper.py:118-136): bracket stripping + space collapse."""
+    part = _read(spark, sf_dir, "part")
+    raw = F.concat(F.lit("[促銷] "), F.col("p_name"), F.lit(" (贈品)  【限時】"))
+    return part.select("p_partkey", names.clean_product_name(raw).alias("name"))
+
+
+@_register(
+    "name_normalize",
+    """SELECT p_partkey,
+       replace(replace(replace(trim(regexp_replace('GeForce  ' || p_name || ' Intel Core', '\\s+', ' ', 'g')),
+               'GeForce', 'GTX'), 'Intel Core', 'Intel'), 'AMD Ryzen', 'AMD') AS name
+FROM part""",
+)
+def q_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (price_formatter.py:40-60): abbreviation unification."""
+    part = _read(spark, sf_dir, "part")
+    raw = F.concat(F.lit("GeForce  "), F.col("p_name"), F.lit(" Intel Core"))
+    return part.select("p_partkey", names.normalize_product_name(raw).alias("name"))
+
+
+@_register(
+    "search_term_normalize",
+    """SELECT p_partkey,
+       trim(regexp_replace(regexp_replace(lower(upper(p_name) || ' - 限時9070XT!!'),
+            '[^0-9a-z_\\s\\-一-鿿]', ' ', 'g'), '\\s+', ' ', 'g')) AS term
+FROM part""",
+)
+def q_search_term_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (product_matcher.py:33-44). The DuckDB mirror spells out the
+    unicode word class (RE2 has no (?U) and its \\w is ASCII-only)."""
+    part = _read(spark, sf_dir, "part")
+    raw = F.concat(F.upper(F.col("p_name")), F.lit(" - 限時9070XT!!"))
+    return part.select("p_partkey", names.normalize_search_term(raw).alias("term"))
+
+
+# ---- extraction (P2/P3: CoolPC option scan) --------------------------------
+
+_OPTION_TEXT_SQL = (
+    f"(p_name || ', $' || CAST({_BIG_SQL} AS VARCHAR)"
+    " || (CASE WHEN p_partkey % 7 = 0 THEN ' 含稅' ELSE '' END))"
+)
+
+
+@_register(
+    "coolpc_option_scan",
+    f"""WITH opts AS (
+  SELECT p_partkey AS option_value, {_OPTION_TEXT_SQL} AS txt FROM part)
+SELECT option_value,
+       trim(regexp_replace(txt, ',?\\s*\\$\\d+.*$', '')) AS name,
+       CAST(regexp_extract(txt, '\\$(\\d+)', 1) AS DOUBLE) AS price
+FROM opts
+WHERE contains(txt, '$') AND len(txt) > 10 AND contains(lower(txt), 'widget')""",
+)
+def q_coolpc_option_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3 (coolpc.py:63-81, 220-270): option text → (name, price), kept
+    when it contains '$', is long enough, and matches the query."""
+    part = _read(spark, sf_dir, "part")
+    txt = F.concat(
+        F.col("p_name"),
+        F.lit(", $"),
+        _big_col().cast("string"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(" 含稅")).otherwise(F.lit("")),
+    )
+    opts = part.select(F.col("p_partkey").alias("option_value"), txt.alias("txt"))
+    return (
+        opts.filter(
+            F.col("txt").contains("$")
+            & (F.length("txt") > 10)
+            & F.lower(F.col("txt")).contains("widget")
+        )
+        .select(
+            "option_value",
+            F.trim(F.regexp_replace("txt", r",?\s*\$\d+.*$", "")).alias("name"),
+            F.regexp_extract("txt", r"\$(\d+)", 1).cast("double").alias("price"),
+        )
+    )
+
+
+# ---- embedded-JSON extraction (P5/P8 family) -------------------------------
+
+@_register(
+    "json_field_extract",
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+FROM events""",
+)
+def q_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P8 (sinya.py:29-136, sunfar.py:79-125): embedded JSON → typed
+    columns via from_json (never per-row json.loads)."""
+    events = _read(spark, sf_dir, "events")
+    parsed = F.from_json("props", "struct<k:int>")
+    return events.select("event_id", parsed.getField("k").alias("k"))
+
+
+# ---- predicates (D1, D10) --------------------------------------------------
+
+_STOCK_CHOICES = ["現貨供應", "缺貨中", "售完", "預購商品", ""]
+_STOCK_SQL = (
+    "(['現貨供應','缺貨中','售完','預購商品',''])[(p_partkey % 5 + 1)::INT]"
+)
+
+
+@_register(
+    "stock_predicate",
+    f"""WITH s AS (SELECT p_partkey, {_STOCK_SQL} AS stock_text FROM part)
+SELECT p_partkey, stock_text,
+       (CASE WHEN stock_text IS NULL OR stock_text = '' THEN FALSE
+             ELSE NOT {duckdb_contains_any("stock_text", predicates.OUT_OF_STOCK_KEYWORDS)}
+        END) AS in_stock
+FROM s""",
+)
+def q_stock_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (base_scraper.py:105-116): out-of-stock keyword screen."""
+    part = _read(spark, sf_dir, "part")
+    stock = F.element_at(
+        F.array(*[F.lit(s) for s in _STOCK_CHOICES]),
+        (F.col("p_partkey") % 5 + 1).cast("int"),
+    )
+    return part.select(
+        "p_partkey",
+        stock.alias("stock_text"),
+        predicates.is_in_stock(stock).alias("in_stock"),
+    )
+
+
+_BUNDLE_SUFFIX_SQL = """(CASE p_partkey % 6
+  WHEN 0 THEN ' + 散熱器 + 機殼' WHEN 1 THEN ' NITRO+'
+  WHEN 2 THEN ' + 主機板' WHEN 3 THEN ' 組合包' ELSE '' END)"""
+
+
+@_register(
+    "bundle_detect",
+    f"""WITH nm AS (SELECT p_partkey, p_name || {_BUNDLE_SUFFIX_SQL} AS name FROM part)
+SELECT p_partkey, name,
+       ({duckdb_contains_any("name", predicates.PCHOME_BUNDLE_KEYWORDS[:20])}
+        OR (len(regexp_split_to_array(name, '[+＋]')) - 1 >= 2
+            AND NOT regexp_matches(name, '(?i)(nitro|pulse|gaming|oc)\\s*\\+'))
+        OR (len(regexp_split_to_array(name, '[+＋]')) - 1 = 1
+            AND NOT regexp_matches(name, '(?i)(nitro|pulse|gaming|oc)\\s*\\+')
+            AND {duckdb_contains_any("name", ["主機板", "機殼", "電源"])})) AS is_bundle
+FROM nm""",
+)
+def q_bundle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 (autobuy.py:204-278): plus-sign bundle logic w/ model-suffix
+    exception (NITRO+)."""
+    part = _read(spark, sf_dir, "part")
+    suffix = (
+        F.when(F.col("p_partkey") % 6 == 0, F.lit(" + 散熱器 + 機殼"))
+        .when(F.col("p_partkey") % 6 == 1, F.lit(" NITRO+"))
+        .when(F.col("p_partkey") % 6 == 2, F.lit(" + 主機板"))
+        .when(F.col("p_partkey") % 6 == 3, F.lit(" 組合包"))
+        .otherwise(F.lit(""))
+    )
+    name = F.concat(F.col("p_name"), suffix)
+    return part.select(
+        "p_partkey",
+        name.alias("name"),
+        predicates.autobuy_is_bundle(name).alias("is_bundle"),
+    )
+
+
+# ---- URL functions (F11, F12, canonicalizer) -------------------------------
+
+_RAW_URL_SQL = """('HTTP://Shop' || CAST(o_orderkey % 7 AS VARCHAR) || '.Example.COM'
+ || (CASE o_orderkey % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END)
+ || '//items//' || CAST(o_orderkey % 100 AS VARCHAR)
+ || (CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END)
+ || '?utm_source=news&id=' || CAST(o_orderkey % 50 AS VARCHAR)
+ || (CASE WHEN o_orderkey % 5 = 0 THEN '&ref=x&b=1' ELSE '&a=2' END)
+ || '#frag')"""
+
+
+def _raw_url_col() -> F.Column:
+    o = F.col("o_orderkey")
+    return F.concat(
+        F.lit("HTTP://Shop"),
+        (o % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(o % 3 == 0, F.lit(":80")).when(o % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("//items//"),
+        (o % 100).cast("string"),
+        F.when(o % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=news&id="),
+        (o % 50).cast("string"),
+        F.when(o % 5 == 0, F.lit("&ref=x&b=1")).otherwise(F.lit("&a=2")),
+        F.lit("#frag"),
+    )
+
+
+@_register(
+    "url_canonicalize",
+    "WITH "
+    + urls.duckdb_canonical_cte(f"(SELECT {_RAW_URL_SQL} AS url FROM orders)", "url")
+    + "\nSELECT canonical_url, count(*) AS n FROM canon GROUP BY 1",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 generalized (north rule): full canonicalizer; grouped so the
+    output also proves the dedup-key cardinality matches."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.select(urls.canonicalize_url(_raw_url_col()).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "url_id_extract",
+    f"""SELECT o_orderkey, regexp_extract({_RAW_URL_SQL}, 'id=([^&]+)', 1) AS pid
+FROM orders""",
+)
+def q_url_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 (sunfar.py:55-64)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", urls.extract_url_id(_raw_url_col()).alias("pid")
+    )
+
+
+_HREF_SQL = """(CASE o_orderkey % 4
+  WHEN 0 THEN 'https://cdn.example.com/img/' || CAST(o_orderkey AS VARCHAR) || '.jpg'
+  WHEN 1 THEN '//cdn.example.com/p' || CAST(o_orderkey AS VARCHAR) || '.png'
+  WHEN 2 THEN '/img/' || CAST(o_orderkey AS VARCHAR)
+  ELSE 'rel/' || CAST(o_orderkey AS VARCHAR) END)"""
+
+
+@_register(
+    "url_absolutize",
+    f"""WITH h AS (SELECT o_orderkey, {_HREF_SQL} AS href,
+                'https://shop.example.com/cat/page.html' AS base FROM orders)
+SELECT o_orderkey,
+       (CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
+             WHEN starts_with(href, '//') THEN 'https:' || href
+             WHEN starts_with(href, '/') THEN regexp_replace(base, '(://[^/]+).*$', '\\1') || href
+             ELSE regexp_replace(base, '/[^/]*$', '/') || href END) AS abs_url
+FROM h""",
+)
+def q_url_absolutize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (pchome.py:117-123 et al.)."""
+    orders = _read(spark, sf_dir, "orders")
+    o = F.col("o_orderkey")
+    href = (
+        F.when(o % 4 == 0, F.concat(F.lit("https://cdn.example.com/img/"), o.cast("string"), F.lit(".jpg")))
+        .when(o % 4 == 1, F.concat(F.lit("//cdn.example.com/p"), o.cast("string"), F.lit(".png")))
+        .when(o % 4 == 2, F.concat(F.lit("/img/"), o.cast("string")))
+        .otherwise(F.concat(F.lit("rel/"), o.cast("string")))
+    )
+    base = F.lit("https://shop.example.com/cat/page.html")
+    return orders.select(
+        "o_orderkey", urls.absolutize(href, base).alias("abs_url")
+    )
+
+
+# ---- dedup first-wins (J2) -------------------------------------------------
+
+@_register(
+    "dedup_first_wins",
+    """WITH li AS (
+  SELECT CASE WHEN l_linenumber % 2 = 0
+              THEN 'id' || CAST(l_partkey % 500 AS VARCHAR)
+              ELSE CAST(l_partkey AS VARCHAR) || '_' || CAST(l_quantity AS VARCHAR) END AS pid,
+         l_orderkey * 10 + l_linenumber AS seq
+  FROM lineitem)
+SELECT pid, seq FROM (
+  SELECT pid, seq, row_number() OVER (PARTITION BY pid ORDER BY seq) AS rn FROM li)
+WHERE rn = 1""",
+)
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (sunfar.py:49-71): id-or-composite key, first occurrence wins in
+    deterministic seq order."""
+    li = _read(spark, sf_dir, "lineitem")
+    pid = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.concat(F.lit("id"), (F.col("l_partkey") % 500).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.col("l_partkey").cast("string"), F.lit("_"), F.col("l_quantity").cast("string")
+        )
+    )
+    seq = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    base = li.select(pid.alias("pid"), seq.alias("seq"))
+    w = Window.partitionBy("pid").orderBy("seq")
+    return (
+        base.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select("pid", "seq")
+    )
+
+
+# ---- politeness scheduler (C3/J5: window-ranked quota) ---------------------
+
+@_register(
+    "politeness_quota",
+    """WITH f AS (
+  SELECT 'shop' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+         o_orderkey, o_totalprice,
+         10 // (1 + (o_custkey % 20) % 3) AS quota
+  FROM orders),
+r AS (
+  SELECT host, o_orderkey, quota,
+         row_number() OVER (PARTITION BY host ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM f)
+SELECT host, o_orderkey, rn FROM r WHERE rn <= quota""",
+)
+def q_politeness_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (config.py:16, README.md:291): per-host crawl-delay budget →
+    window-ranked fetch quota per wave (priority desc, seq tiebreak)."""
+    orders = _read(spark, sf_dir, "orders")
+    host = F.concat(F.lit("shop"), (F.col("o_custkey") % 20).cast("string"))
+    delay = 1 + (F.col("o_custkey") % 20) % 3
+    f = orders.select(
+        host.alias("host"),
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(10 / delay).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("host", "o_orderkey", "rn")
+    )
+
+
+# ---- top-k / pagination (O3, O4) -------------------------------------------
+
+@_register(
+    "topk_per_store",
+    """SELECT store, o_orderkey, rn FROM (
+  SELECT 'store' || CAST(o_custkey % 10 AS VARCHAR) AS store, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey % 10
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 5""",
+)
+def q_topk_per_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: per-store result caps in deterministic page order."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.col("o_custkey") % 10).orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    return (
+        orders.select(
+            F.concat(F.lit("store"), (F.col("o_custkey") % 10).cast("string")).alias("store"),
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@_register(
+    "pagination",
+    """SELECT o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn > 40 AND rn <= 60""",
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (streamlit_app.py:269-310): page 3 @ 20/page of the price sort."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
+    )
+
+
+# ---- aggregations (A1, A2) -------------------------------------------------
+
+@_register(
+    "price_stats",
+    """SELECT min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+       round(avg(p_retailprice), 4) AS avg_price,
+       max(p_retailprice) - min(p_retailprice) AS price_spread,
+       count(*) AS n
+FROM part WHERE p_partkey % 4 > 0""",
+)
+def q_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (streamlit_app.py:383-408) over the in-stock subset."""
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 > 0)
+    return part.agg(
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        (F.max("p_retailprice") - F.min("p_retailprice")).alias("price_spread"),
+        F.count("*").alias("n"),
+    )
+
+
+_STORE_DIM = [f"src{i}" for i in range(20)] + ["srcOFFLINE"]
+
+
+@_register(
+    "store_stats",
+    """WITH dim AS (SELECT unnest({dim}) AS store),
+counts AS (SELECT source AS store, count(*) AS c FROM documents GROUP BY 1)
+SELECT dim.store AS store, coalesce(c, 0) AS n,
+       CASE WHEN coalesce(c, 0) > 0 THEN 'ok' ELSE 'failed' END AS status
+FROM dim LEFT JOIN counts ON dim.store = counts.store""".format(
+        dim="[" + ", ".join(f"'{s}'" for s in _STORE_DIM) + "]"
+    ),
+)
+def q_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (main.py:137-150): store registry vs. per-store result counts."""
+    docs = _read(spark, sf_dir, "documents")
+    dim = docs.sparkSession.createDataFrame([(s,) for s in _STORE_DIM], ["store"])
+    counts = docs.groupBy(F.col("source").alias("store")).agg(
+        F.count("*").alias("c")
+    )
+    return dim.join(counts, "store", "left").select(
+        "store",
+        F.coalesce("c", F.lit(0)).alias("n"),
+        F.when(F.coalesce("c", F.lit(0)) > 0, "ok").otherwise("failed").alias("status"),
+    )
+
+
+# ---- cache TTL filter (S8, F15) --------------------------------------------
+
+@_register(
+    "cache_ttl_filter",
+    """SELECT event_type, count(*) AS n_live
+FROM events
+WHERE ts + INTERVAL 30 MINUTE > TIMESTAMP '2024-01-30 12:00:00'
+GROUP BY event_type""",
+)
+def q_cache_ttl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/F15 (cache.py:46-74): expiry = created_at + TTL > now."""
+    events = _read(spark, sf_dir, "events")
+    live = events.filter(
+        F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+        > F.lit("2024-01-30 12:00:00").cast("timestamp")
+    )
+    return live.groupBy("event_type").agg(F.count("*").alias("n_live"))
+
+
+# ---- similarity (J1 — difflib pandas UDF; no SQL equivalent) ---------------
+
+@_register("similarity_match", oracle=None)
+def q_similarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (product_matcher.py:82-145): Ratcliff-Obershelp blend scoring via
+    the vectorized difflib pandas UDF. Not SQL-expressible — driver records
+    the rows-only check."""
+    part = _read(spark, sf_dir, "part")
+    sim = similarity_col("red widget", F.col("p_name"))
+    return (
+        part.select("p_partkey", "p_name", F.round(sim, 6).alias("similarity_score"))
+        .filter(F.col("similarity_score") >= 0.2)
+        .orderBy(F.desc("similarity_score"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
+# ---- text-analysis family --------------------------------------------------
+
+@_register(
+    "text_language_id",
+    f"SELECT doc_id, {text.duckdb_language_id('text')} AS lang_pred FROM documents",
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id("text").alias("lang_pred"))
+
+
+@_register(
+    "text_quality",
+    f"SELECT doc_id, {text.duckdb_quality_score('text')} AS quality FROM documents",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@_register(
+    "text_token_counts",
+    f"""SELECT doc_id, {text.duckdb_token_count('text')} AS n_tokens,
+       {text.duckdb_regex_token_count('text')} AS n_bpe_tokens
+FROM documents""",
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.regex_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@_register(
+    "text_fingerprint",
+    f"SELECT doc_id, {text.duckdb_fingerprint('text')} AS fp FROM documents",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# ---- dedup family ----------------------------------------------------------
+
+@_register("dedup_exact", dedup.duckdb_exact_dedup())
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+@_register("dedup_minhash_lsh", dedup.duckdb_minhash_lsh_pairs())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
+
+
+@_register("dedup_simhash", dedup.duckdb_simhash())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_read(spark, sf_dir, "documents"))
+
+
+@_register("dedup_ngram_jaccard", dedup.duckdb_blocked_jaccard_pairs())
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.blocked_jaccard_pairs(_read(spark, sf_dir, "documents"))
+
+
+# ---- ANN family ------------------------------------------------------------
+
+@_register("ann_cosine_topk", ann.duckdb_cosine_topk(0, 10))
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.cosine_topk(_read(spark, sf_dir, "embeddings"), 0, 10)
+
+
+@_register("ann_ivf_topk", ann.duckdb_ivf_topk(0, 10))
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ivf_topk(_read(spark, sf_dir, "embeddings"), 0, 10)
+
+
+@_register("ann_signlsh_topk", oracle=None)
+def q_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH probe (hyperplanes from md5 via base-16
+    conv — no portable SQL mirror; rows-only check)."""
+    return ann.signlsh_topk(_read(spark, sf_dir, "embeddings"), 0, 10)
+
+
+# ---- multimodal family -----------------------------------------------------
+
+@_register("multimodal_decode", multimodal.duckdb_decoded_media())
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.with_media_payload(docs))
+
+
+@_register("multimodal_frame_sample", multimodal.duckdb_sampled_frames())
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.decode_media(multimodal.with_media_payload(docs))
+    )

@@ -40,7 +40,9 @@ def canonicalize_url(col: Column | str) -> Column:
     path = F.regexp_extract(tail, r"^([^?#]*)", 1)
     qs = F.regexp_extract(tail, r"\?([^#]*)", 1)
 
-    host = F.regexp_replace(hostport, r"\.+(?=:|$)", "")  # trailing dots
+    # trailing host dots (no lookahead: DuckDB's RE2 silently ignores (?=...),
+    # so both mirrors use a capture group instead)
+    host = F.regexp_replace(hostport, r"\.+(:\d*)?$", "$1")
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
     )
@@ -88,9 +90,9 @@ canon_pieces AS (
         regexp_extract(_tail, '^([^?#]*)', 1) AS _path0,
         regexp_extract(_tail, '\?([^#]*)', 1) AS _qs,
         CASE
-            WHEN _scheme = 'http'  THEN regexp_replace(regexp_replace(_hostport, '\.+(?=:|$)', ''), ':80$', '')
-            WHEN _scheme = 'https' THEN regexp_replace(regexp_replace(_hostport, '\.+(?=:|$)', ''), ':443$', '')
-            ELSE regexp_replace(_hostport, '\.+(?=:|$)', '')
+            WHEN _scheme = 'http'  THEN regexp_replace(regexp_replace(_hostport, '\.+(:\d*)?$', '\1'), ':80$', '')
+            WHEN _scheme = 'https' THEN regexp_replace(regexp_replace(_hostport, '\.+(:\d*)?$', '\1'), ':443$', '')
+            ELSE regexp_replace(_hostport, '\.+(:\d*)?$', '\1')
         END AS _host
     FROM canon_parts
 ),
