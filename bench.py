@@ -1,0 +1,243 @@
+"""Benchmark harness.
+
+Default mode: runs the headline query suite + the frontier throughput job at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, "urls_per_sec": N, ...}
+
+``--crawl-only`` runs just the frontier job (used by --scaling subprocesses).
+``--scaling`` runs the identical frontier job at local[8] and local[32] in
+fresh subprocesses and reports throughput at both plus N→4N efficiency —
+the sandbox stand-in for the north rule's two-cluster-size criterion.
+
+All timings force full materialization via the noop sink (no collect of
+big results to the driver; the driver never becomes the bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline operator queries from the driver-contract registry
+BENCH_QUERIES = [
+    "coolpc_option_scan",
+    "url_canonicalize",
+    "dedup_first_wins",
+    "politeness_quota",
+    "topk_per_store",
+    "price_stats",
+    "similarity_match",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "multimodal_decode",
+]
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _sf(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def frontier_throughput(spark, sf_dir: str) -> tuple[int, float]:
+    """The authoritative metric's sandbox slice: canonicalize → xxhash64 →
+    exact URL-seen dedup → per-host politeness quota ranking, over a
+    synthetic frontier derived from orders (4 URL variants per order, ~25%
+    canonical-duplicate rate). Returns (n_input_urls, seconds)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.functions.urls import (
+        canonicalize_with_host,
+        url_hash,
+    )
+
+    n_part = spark.sparkContext.defaultParallelism * 2
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = F.col("o_orderkey")
+    # 16 query-string variants per order → ~2.4M URLs at sf0.1 with a ~25%
+    # canonical-duplicate rate. The repartition emulates a many-split
+    # frontier table (the sf0.1 parquet is one tiny file — without it the
+    # scan stage runs on ≤2 cores and the scaling test measures nothing).
+    n_variants = int(os.environ.get("SPARK_GRAFT_URL_VARIANTS", "16"))
+    variants = F.array(*[
+        F.concat(
+            F.lit("?a=1&utm_source=v"), F.lit(str(i)),
+            F.lit("&b="), F.lit(str(i % 4)),
+        )
+        for i in range(n_variants)
+    ])
+    raw = (
+        orders.select(o, "o_custkey", "o_totalprice",
+                      F.explode(variants).alias("suffix"))
+        .select(
+            F.concat(
+                F.lit("https://Shop"), (F.col("o_custkey") % 64).cast("string"),
+                F.lit(".example.com/item/"), (o % 10000).cast("string"),
+                F.col("suffix"),
+            ).alias("url"),
+            "o_totalprice",
+        )
+        .repartition(n_part)
+    )
+    raw.cache()
+    n_input = raw.count()  # materializes the input outside the timed window
+
+    t0 = time.time()
+    canon = (
+        raw.select(canonicalize_with_host("url").alias("c"), "o_totalprice")
+        .select("c.canonical_url", "c.host", "o_totalprice")
+        .withColumn("url_hash", url_hash("canonical_url"))
+    )
+    # first-wins dedup as an aggregate (map-side partial combine — shuffles
+    # one candidate per (partition, url_hash), not every URL; a window would
+    # shuffle + sort the full frontier)
+    deduped = canon.groupBy("url_hash").agg(
+        F.max_by(
+            F.struct("canonical_url", "host", "o_totalprice"),
+            F.struct("o_totalprice", "canonical_url"),
+        ).alias("r")
+    ).select("url_hash", "r.canonical_url", "r.host", "r.o_totalprice")
+    w_host = Window.partitionBy("host").orderBy(
+        F.desc("o_totalprice"), F.asc("url_hash")
+    )
+    scheduled = (
+        deduped.withColumn("rank", F.row_number().over(w_host))
+        .filter(F.col("rank") <= 2000)
+    )
+    _noop(scheduled)
+    dt = time.time() - t0
+    raw.unpersist()
+    return n_input, dt
+
+
+def run_crawl_only() -> None:
+    import statistics
+
+    from price_crawler_spark.session import get_spark
+
+    spark = get_spark("bench-crawl", cores=CPUS, shuffle_partitions=CPUS)
+    # one warm-up pass (JVM/codegen), then 5 measured passes. The box is
+    # shared — single passes swing 3× on neighbor noise — so `sec` is the
+    # MINIMUM (interference-free capacity); median also reported.
+    frontier_throughput(spark, SF_DIR)
+    runs = [frontier_throughput(spark, SF_DIR) for _ in range(5)]
+    n = runs[0][0]
+    best = min(r[1] for r in runs)
+    med = statistics.median(r[1] for r in runs)
+    print(json.dumps({"cpus": CPUS, "n_urls": n, "sec": round(best, 3),
+                      "median_sec": round(med, 3),
+                      "urls_per_sec": round(n / best, 1),
+                      "all_sec": [round(r[1], 3) for r in runs]}))
+    spark.stop()
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def hw_ceiling() -> float:
+    """Measured compute-scaling ceiling of this box going 8→32 workers
+    (pure-CPU multiprocessing, no Spark). On shared/virtualized hosts the
+    hardware itself often delivers < 4× from 4× cores (frequency scaling /
+    hypervisor caps); the job's efficiency is only meaningful relative to
+    this."""
+    import multiprocessing as mp
+
+    rates = {8: 0.0, 32: 0.0}
+    for _ in range(3):  # best-of-3: the probe suffers neighbor noise too
+        for procs in (8, 32):
+            with mp.Pool(procs) as p:
+                t0 = time.time()
+                p.map(_burn, [4_000_000] * procs * 4)
+                rate = procs * 4 * 4_000_000 / (time.time() - t0)
+            rates[procs] = max(rates[procs], rate)
+    return rates[32] / (4 * rates[8])
+
+
+def run_scaling() -> None:
+    out = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env.setdefault("SPARK_GRAFT_URL_VARIANTS", "64")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = r.stdout.strip().splitlines()[-1]
+        out[cpus] = json.loads(line)
+    eff = out[32]["urls_per_sec"] / (4 * out[8]["urls_per_sec"])
+    ceiling = hw_ceiling()
+    print(json.dumps({
+        "metric": "frontier canonicalize+dedup+schedule URLs/sec, local[8] vs local[32]",
+        "local8": out[8], "local32": out[32],
+        "scaling_efficiency_Nto4N": round(eff, 3),
+        "hw_ceiling_Nto4N": round(ceiling, 3),
+        "normalized_efficiency": round(eff / ceiling, 3),
+        "sf": _sf(SF_DIR),
+    }))
+
+
+def main() -> None:
+    if "--crawl-only" in sys.argv:
+        run_crawl_only()
+        return
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    import __spark_entry__ as entrymod
+    from price_crawler_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    registry = entrymod.queries()
+    times: dict[str, float] = {}
+
+    n_urls, crawl_dt = frontier_throughput(spark, SF_DIR)
+    times["frontier_dedup_schedule"] = round(crawl_dt, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _noop(registry[name](spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall-seconds (frontier dedup+schedule + "
+                  f"{len(BENCH_QUERIES)} operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf(SF_DIR),
+        "cpus": CPUS,
+        "frontier_urls": n_urls,
+        "frontier_urls_per_sec": round(n_urls / crawl_dt, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

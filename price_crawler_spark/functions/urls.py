@@ -29,6 +29,50 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def canonicalize_with_host(col: Column | str) -> Column:
+    """(canonical_url, host) as ONE struct expression. The host subtree is
+    shared with the canonical-url subtree, so Catalyst's subexpression
+    elimination parses the URL once — `select(canonicalize_url(u),
+    url_host(u))` as two separate expressions parses it twice."""
+    u = F.trim(_col(col))
+    u = F.regexp_replace(u, r"#.*$", "")
+
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_extract(tail, r"^([^?#]*)", 1)
+    qs = F.regexp_extract(tail, r"\?([^#]*)", 1)
+
+    host = F.regexp_replace(hostport, r"\.+(:\d*)?$", "$1")
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    )
+
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
+
+    params = F.split(qs, "&")
+    kept = F.filter(
+        params,
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    qs_norm = F.array_join(F.array_sort(kept), "&")
+
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs_norm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs_norm)),
+    )
+    bare_host = F.regexp_replace(host, r":\d+$", "")
+    return F.struct(
+        canonical.alias("canonical_url"), bare_host.alias("host")
+    )
+
+
 def canonicalize_url(col: Column | str) -> Column:
     u = F.trim(_col(col))
     u = F.regexp_replace(u, r"#.*$", "")  # strip fragment

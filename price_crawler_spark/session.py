@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # throughput GC: the canonicalize/extract chains are allocation-heavy;
+        # ParallelGC measured ~27% faster than G1 at 32 cores on this box
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # shuffle to RAM-backed storage in this sandbox (single-disk box —
+        # spinning shuffle through / makes every scaling number disk-bound;
+        # a real cluster spreads shuffle over many local disks)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
