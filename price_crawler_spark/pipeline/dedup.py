@@ -76,18 +76,33 @@ def duckdb_exact_dedup(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+#
+# Hashing scheme (engine-portable, one md5 per shingle):
+#   md5(shingle) hex → h1 = hex[0:12] as int48, h2 = hex[12:24] as int48
+#   permutation i:  g_i(s) = h1 + i*h2   (Broder double-hashing family)
+# 48-bit halves keep h1 + 15*h2 < 2^53: no int64 overflow anywhere (DuckDB
+# raises on BIGINT overflow where Spark wraps — staying under 2^53 keeps the
+# two engines bit-identical). 16 md5s/shingle → 1 md5 + 16 mul-adds: ~5×
+# cheaper at the 100 TB hot path.
 
-def _minhash_sig(sh: Column, num_hashes: int) -> Column:
-    """Array of ``num_hashes`` minhash values. Permutation i is the md5 of
-    the shingle salted with i — min over the shingle set. Engine-independent
-    (md5 on both sides) and cluster-size-independent (pure per-row)."""
-    mins = [
-        F.array_min(
-            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+
+def _hex_int(h: Column, start: int, length: int = 12) -> Column:
+    return F.conv(F.substring(h, start, length), 16, 10).cast("long")
+
+
+def _minhash_sig(hh: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` int64 minhash values from the per-shingle
+    (h1, h2) struct array ``hh``. The struct is materialized ONCE before the
+    16 permutation scans — conv() is string-based and slow, and Catalyst
+    does not CSE it across the separate array_min expressions (measured 13s
+    → 0.9s for 5k docs at sf0.1)."""
+
+    def _perm(i: int) -> Column:
+        return F.array_min(
+            F.transform(hh, lambda x: x.getField("h1") + F.lit(i) * x.getField("h2"))
         )
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+
+    return F.array(*[_perm(i) for i in range(num_hashes)])
 
 
 def minhash_signatures(
@@ -97,13 +112,28 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, shingles, sig) for docs with ≥1 shingle (shorter docs can't be
-    near-dup candidates at shingle size k)."""
-    sh = F.array_distinct(F.array_sort(shingles(text_col, k)))
+    """(id, shh, sig) for docs with ≥1 shingle (shorter docs can't be
+    near-dup candidates at shingle size k). ``shh`` is the int48-hashed
+    distinct shingle set — the exact-Jaccard verifier compares int64 arrays,
+    not 30-char strings (smaller shuffle, cheaper intersect)."""
+    sh = F.array_distinct(shingles(text_col, k))
+    base = docs.select(F.col(id_col).alias("id"), sh.alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    hh = F.transform(
+        F.col("sh"),
+        lambda s: F.struct(
+            _hex_int(F.md5(s), 1).alias("h1"), _hex_int(F.md5(s), 13).alias("h2")
+        ),
+    )
+    base = base.withColumn("hh", hh).drop("sh")
+    shh = F.array_distinct(
+        F.transform(F.col("hh"), lambda x: x.getField("h1"))
+    )
     return (
-        docs.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", _minhash_sig(F.col("sh"), num_hashes))
+        base.withColumn("shh", shh)
+        .withColumn("sig", _minhash_sig(F.col("hh"), num_hashes))
+        .drop("hh")
     )
 
 
@@ -120,21 +150,29 @@ def minhash_lsh_pairs(
 
     rows-per-band r = num_hashes/bands; a pair collides in a band iff that
     band's minhash slice matches exactly, P ≈ 1-(1-j^r)^bands. Candidates are
-    verified with exact Jaccard on the shingle sets, so false positives cost
-    only the verify, never wrong output. The band join shuffles on
-    (band, key) — ~uniform since the key is an md5; no O(n²) stage anywhere.
+    verified with exact Jaccard on the hashed shingle sets, so false
+    positives cost only the verify, never wrong output. The band join
+    shuffles on (band, key) — ~uniform since the key derives from md5; no
+    O(n²) stage anywhere.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes)
 
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.array_join(F.slice("sig", b * r + 1, r), "|")),
-    )
-    banded = sigs.select(
-        "id", "sh", F.posexplode(band_arr).alias("band", "key")
-    )
+    def _band_key(b: int) -> Column:
+        return F.array_join(
+            F.transform(
+                F.slice("sig", b * r + 1, r), lambda v: v.cast("string")
+            ),
+            "|",
+        )
+
+    # The band self-join runs on skinny (id, band, key) rows — shuffling the
+    # shingle arrays through the join would move ~50× more bytes. Arrays are
+    # joined back per UNIQUE candidate pair from the (small) signature table.
+    sigs = sigs.persist()
+    band_arr = F.array(*[_band_key(b) for b in range(bands)])
+    banded = sigs.select("id", F.posexplode(band_arr).alias("band", "key"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -144,18 +182,22 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # no broadcast hint: AQE broadcasts the set side while it fits (it does
+    # at every test SF); at billions of docs both sides are big and the
+    # planner correctly falls back to a shuffled hash join on id.
+    sets = sigs.select("id", "shh")
+    paired = cand.join(
+        sets.select(F.col("id").alias("id_a"), F.col("shh").alias("sh_a")), "id_a"
+    ).join(
+        sets.select(F.col("id").alias("id_b"), F.col("shh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        paired.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -168,14 +210,17 @@ def duckdb_minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.2,
 ) -> str:
-    """DuckDB mirror of :func:`minhash_lsh_pairs` (same salts, bands, order)."""
+    """DuckDB mirror of :func:`minhash_lsh_pairs` (same hash family, bands)."""
     r = num_hashes // bands
+    h1 = "('0x' || substr(h, 1, 12))::BIGINT"
+    h2 = "('0x' || substr(h, 13, 12))::BIGINT"
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+        f"list_min(list_transform(hx, h -> {h1} + {i} * {h2}))"
         for i in range(num_hashes)
     )
     band_keys = ", ".join(
-        f"md5(array_to_string(sig[{b * r + 1}:{b * r + r}], '|'))"
+        f"array_to_string(list_transform(sig[{b * r + 1}:{b * r + r}],"
+        " x -> x::VARCHAR), '|')"
         for b in range(bands)
     )
     return f"""
@@ -189,24 +234,27 @@ WITH toks AS (
     ELSE [] END AS shr
   FROM toks
 ), shs AS (
-  SELECT id, list_distinct(shr) AS sh FROM sh0 WHERE len(shr) > 0
-), sigs AS (
-  SELECT id, sh, [{mins}] AS sig FROM shs
+  SELECT id, list_transform(list_distinct(shr), s -> md5(s)) AS hx
+  FROM sh0 WHERE len(shr) > 0
+), hashed AS (
+  SELECT id, list_distinct(list_transform(hx, h -> {h1})) AS shh,
+         [{mins}] AS sig
+  FROM shs
 ), banded AS (
-  SELECT id, sh, unnest(range(0, {bands})) AS band,
+  SELECT id, shh, unnest(range(0, {bands})) AS band,
          unnest([{band_keys}]) AS key
-  FROM sigs
+  FROM hashed
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND a.id < b.id
 ), verified AS (
   SELECT c.id_a, c.id_b,
-         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-               len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+         round(len(list_intersect(sa.shh, sb.shh))::DOUBLE /
+               len(list_distinct(list_concat(sa.shh, sb.shh))), 6) AS jaccard
   FROM cand c
-  JOIN shs sa ON sa.id = c.id_a
-  JOIN shs sb ON sb.id = c.id_b
+  JOIN hashed sa ON sa.id = c.id_a
+  JOIN hashed sb ON sb.id = c.id_b
 )
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
@@ -323,23 +371,44 @@ def blocked_jaccard_pairs(
     k: int = 3,
     top_n: int = 20,
 ) -> DataFrame:
-    """Exact k-gram Jaccard for pairs sharing a blocking key; global top-N
-    by (jaccard desc, id_a, id_b) — fully deterministic. The self-join
-    shuffles on the block key; block sizing bounds the quadratic term."""
-    sh = F.array_distinct(F.array_sort(shingles(text_col, k)))
+    """Exact k-gram Jaccard over overlapping pairs sharing a blocking key;
+    global top-N by (jaccard desc, id_a, id_b) — fully deterministic.
+
+    Inverted-index formulation: explode (block, shingle_hash, id), self-join
+    on (block, shingle) and COUNT co-occurrences per pair — that computes
+    |A∩B| touching only the shingles two docs actually share, instead of
+    O(|A|+|B|) per pair with array_intersect (17s → ~2s at sf0.1, and the
+    co-occurrence count is the formulation that survives a 100 TB corpus:
+    every stage is an equi-join/agg with map-side combine, no arrays ever
+    cross a shuffle). |A∪B| = |A|+|B|-|A∩B| since shingle sets are distinct.
+    Pairs with zero overlap have jaccard 0 and are never near-dups; they are
+    excluded by construction."""
+    sh = F.array_distinct(
+        F.transform(shingles(text_col, k), lambda s: _hex_int(F.md5(s), 1))
+    )
     base = docs.select(
         F.col(id_col).alias("id"), *block_cols, sh.alias("sh")
-    ).filter(F.size("sh") > 0)
-    a, b = base.alias("a"), base.alias("b")
-    cond = (F.col("a.id") < F.col("b.id"))
+    ).filter(F.size("sh") > 0).persist()
+
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    ex = base.select("id", *block_cols, F.explode("sh").alias("shg"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.shg") == F.col("b.shg")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size(F.array_distinct(F.concat("a.sh", "b.sh")))
-    pairs = a.join(b, cond).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.round(inter / union, 6).alias("jaccard"),
+    co = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        co.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")), 6).alias("jaccard"),
+        )
     )
     w = Window.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
     return (
@@ -360,7 +429,7 @@ WITH toks AS (
 ), shs AS (
   SELECT id, source, list_distinct(
     list_transform(range(1, len(t) - {k} + 2),
-                   i -> array_to_string(t[i:i+{k - 1}], ' '))) AS sh
+                   i -> ('0x' || substr(md5(array_to_string(t[i:i+{k - 1}], ' ')), 1, 12))::BIGINT)) AS sh
   FROM toks WHERE len(t) >= {k}
 ), pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
@@ -369,5 +438,6 @@ WITH toks AS (
   FROM shs a JOIN shs b ON a.source = b.source AND a.id < b.id
 )
 SELECT id_a, id_b, jaccard FROM pairs
+WHERE jaccard > 0
 ORDER BY jaccard DESC, id_a, id_b LIMIT {top_n}
 """
