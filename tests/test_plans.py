@@ -1,0 +1,118 @@
+"""Plan-shape tests: the scale-critical Catalyst properties (pushdown,
+pruning, broadcast, codegen) asserted against real physical plans on the
+driver's parquet tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from price_crawler_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    assert_wholestage_codegen,
+    explain_str,
+)
+from price_crawler_spark.plans.partitioning import (
+    N_SEEN_SHARDS,
+    salted_fetch_key,
+    seen_shard,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_parquet(orders):
+    df = orders.filter(F.col("o_totalprice") > 1000.0).select("o_orderkey")
+    assert_pushed_filters(df, "GreaterThan(o_totalprice,1000.0)")
+
+
+def test_column_pruning_reaches_parquet(lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity")
+    assert_read_schema_only(df, "l_orderkey", "l_quantity")
+
+
+def test_projection_filter_pruned_together(lineitem):
+    df = (
+        lineitem.filter(F.col("l_returnflag") == "N")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    assert_pushed_filters(df, "EqualTo(l_returnflag,N)")
+    assert_read_schema_only(df, "l_returnflag", "l_quantity")
+    assert_wholestage_codegen(df)
+
+
+def test_small_dim_join_broadcasts(spark, orders):
+    dim = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(20)], ["k", "name"]
+    )
+    joined = orders.join(dim, orders.o_custkey % 20 == dim.k)
+    assert_broadcast_join(joined)
+
+
+def test_extraction_stays_in_codegen(spark):
+    """The scalar-function library compiles into whole-stage codegen — no
+    interpreted eval, no Python in the plan."""
+    from price_crawler_spark.functions.prices import extract_price
+    from price_crawler_spark.functions.urls import canonicalize_with_host
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    df = part.select(
+        extract_price(F.concat(F.lit("NT$"), F.col("p_retailprice"))).alias("p"),
+        canonicalize_with_host(F.concat(F.lit("https://x.com/a?b="), "p_name")).alias("c"),
+    )
+    assert_wholestage_codegen(df)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_similarity_is_arrow_not_row_python(spark):
+    """The one Python crossing (difflib similarity) must be Arrow-batched
+    (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    from price_crawler_spark.operators.matcher import similarity_col
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    df = part.select(similarity_col("red widget", F.col("p_name")).alias("s"))
+    plan = explain_str(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_seen_shard_is_parallelism_independent(spark):
+    """Shard membership depends only on the hash value — never on the
+    session's parallelism (SURVEY §7.3.5: resizing the cluster must not
+    move keys between Bloom shards)."""
+    df8 = spark.range(1000).select(
+        seen_shard(F.xxhash64("id")).alias("s")
+    )
+    rows = [r.s for r in df8.orderBy("id").collect()]
+    assert all(0 <= s < N_SEEN_SHARDS for s in rows)
+    df_re = spark.range(1000).repartition(3).select(
+        "id", seen_shard(F.xxhash64("id")).alias("s")
+    )
+    rows_re = {r.id: r.s for r in df_re.collect()}
+    for i, s in enumerate(rows):
+        assert rows_re[i] == s
+
+
+def test_salted_fetch_key_only_splits_mega_hosts(spark):
+    df = spark.createDataFrame(
+        [("big.com", i) for i in range(100)] + [("small.com", i) for i in range(100)],
+        ["host", "h"],
+    ).select("host", salted_fetch_key("host", F.col("h").cast("long"), ["big.com"], 4).alias("k"))
+    keys = df.groupBy("host").agg(F.countDistinct("k").alias("n")).collect()
+    by_host = {r.host: r.n for r in keys}
+    assert by_host["small.com"] == 1
+    assert by_host["big.com"] == 4
