@@ -236,6 +236,63 @@ def q_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", parsed.getField("k").alias("k"))
 
 
+# ---- P6: JS-literal repair + parse -----------------------------------------
+
+_JS_LIT_SQL = """('{name: ''' || p_name || ''', price: ' || CAST(p_partkey AS VARCHAR)
+ || (CASE p_partkey % 3 WHEN 0 THEN ', qty: undefined,' WHEN 1 THEN ', qty: , note: 1' ELSE ', qty: 7' END)
+ || '}')"""
+
+
+def _js_lit_col() -> F.Column:
+    from price_crawler_spark.functions.jsonrepair import js_literal_repair  # noqa
+
+    pk = F.col("p_partkey")
+    return F.concat(
+        F.lit("{name: '"),
+        F.col("p_name"),
+        F.lit("', price: "),
+        pk.cast("string"),
+        F.when(pk % 3 == 0, F.lit(", qty: undefined,"))
+        .when(pk % 3 == 1, F.lit(", qty: , note: 1"))
+        .otherwise(F.lit(", qty: 7")),
+        F.lit("}"),
+    )
+
+
+def _js_repair_oracle() -> str:
+    from price_crawler_spark.functions.jsonrepair import duckdb_js_literal_repair
+
+    fixed = duckdb_js_literal_repair(_JS_LIT_SQL)
+    return f"""SELECT p_partkey,
+       json_extract_string({fixed}, '$.name') AS name,
+       CAST(json_extract({fixed}, '$.price') AS BIGINT) AS price,
+       CAST(json_extract({fixed}, '$.qty') AS BIGINT) AS qty
+FROM part"""
+
+
+@_register("js_repair_parse", None)  # oracle attached below (built lazily)
+def q_js_repair_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (sinya.py:303-330): 5-step JS-literal repair chain, then from_json
+    into typed fields (the embedded-JSON extraction path for JS-literal
+    stores)."""
+    from price_crawler_spark.functions.jsonrepair import js_literal_repair
+
+    part = _read(spark, sf_dir, "part")
+    parsed = F.from_json(
+        js_literal_repair(_js_lit_col()),
+        "struct<name:string,price:bigint,qty:bigint>",
+    )
+    return part.select(
+        "p_partkey",
+        parsed.getField("name").alias("name"),
+        parsed.getField("price").alias("price"),
+        parsed.getField("qty").alias("qty"),
+    )
+
+
+ORACLES["js_repair_parse"] = _js_repair_oracle()
+
+
 # ---- predicates (D1, D10) --------------------------------------------------
 
 _STOCK_CHOICES = ["現貨供應", "缺貨中", "售完", "預購商品", ""]
