@@ -273,6 +273,55 @@ def sapphire_pixel_products(docs: DataFrame) -> DataFrame:
     return out.select(*PRODUCT_COLS)
 
 
+def sapphire_enriched_products(docs: DataFrame) -> DataFrame:
+    """P12 (sapphire.py:194-239): pixel products get real names from the
+    page's title spans by POSITION — i-th pixel triple ↔ i-th title — via a
+    row_number-aligned left join; missing names keep the placeholder."""
+    pixel = sapphire_pixel_products(docs)
+    w_p = Window.partitionBy("store").orderBy("seq")
+    pixel = pixel.withColumn("_pos", F.row_number().over(w_p))
+
+    titles = _spans(docs.filter(F.col("store") == "sapphire")).filter(
+        F.col("kind") == "title"
+    )
+    w_t = Window.partitionBy("store").orderBy("seq_key", "offset")
+    names = titles.select(
+        collapse_spaces(F.col("text")).alias("real_name"),
+        F.row_number().over(w_t).alias("_pos"),
+    )
+    return (
+        pixel.join(names, "_pos", "left")
+        .withColumn(
+            "product_name", F.coalesce("real_name", "product_name")
+        )
+        .drop("_pos", "real_name")
+        .select(*PRODUCT_COLS)
+    )
+
+
+def sapphire_rank_unpriced(products: DataFrame, cap: int = 10) -> DataFrame:
+    """P14 (sapphire.py:270-295): priced products first (page order); then
+    at most ``cap`` unpriced ones, and only those whose name carries a
+    concrete model token (letters+digits) and is not a bare generic series.
+    """
+    priced = products.filter(F.col("price").isNotNull() & (F.col("price") > 0))
+    concrete = F.col("product_name").rlike(r"[A-Za-z]+\s?\d{3,}")
+    generic = F.col("product_name").rlike(r"(?i)^(radeon|rx|nitro|pulse)\s*(系列)?$")
+    unpriced = (
+        products.filter(F.col("price").isNull() | (F.col("price") <= 0))
+        .filter(concrete & ~generic)
+    )
+    w = Window.orderBy("seq")
+    unpriced = (
+        unpriced.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return priced.unionByName(unpriced).orderBy(
+        F.desc(F.col("price").isNotNull() & (F.col("price") > 0)), F.asc("seq")
+    )
+
+
 def extract_products(docs: DataFrame) -> DataFrame:
     """Unified products view over all store archetypes (J0: stores are data,
     not code paths — one DataFrame with a ``store`` column)."""

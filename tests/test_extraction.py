@@ -173,3 +173,67 @@ def test_standalone_heuristic(spark):
             "ASUS ROG strix scar 筆電",
         ],
     ) == [True, False, False, False]
+
+
+def test_sapphire_name_enrichment(spark):
+    """P12: i-th pixel product takes the i-th title span's name; extras keep
+    the placeholder."""
+    from price_crawler_spark.operators.extraction import sapphire_enriched_products
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    pixel_text = (
+        'content_ids:[...], {"id":11,"price":100.0,"quantity":3}, '
+        '{"id":22,"price":200.0,"quantity":0}'
+    )
+    rows = [
+        (
+            "d1",
+            [
+                ("title", "SAPPHIRE NITRO RX 9070", None, 0),
+                ("pixel", pixel_text, None, 1),
+            ],
+            "sapphire",
+            0,
+            0,
+        )
+    ]
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA).withColumn(
+        "seq_key", F.lit("00000000")
+    )
+    out = sapphire_enriched_products(docs).orderBy("seq").collect()
+    assert [r.product_name for r in out] == [
+        "SAPPHIRE NITRO RX 9070",  # enriched from title span
+        "藍寶石產品 #22",  # no second title → placeholder kept
+    ]
+    assert [r.in_stock for r in out] == [True, False]
+
+
+def test_sapphire_unpriced_rank(spark):
+    from price_crawler_spark.operators.extraction import sapphire_rank_unpriced
+    from price_crawler_spark.schemas import PRODUCT_SCHEMA
+
+    def row(name, price, seq):
+        return ("sapphire", name, price, None, True, "TWD", None, None, False, seq)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        PRODUCT_SCHEMA.fields + [T.StructField("seq", T.LongType())]
+    )
+    df = spark.createDataFrame(
+        [
+            row("RX 9070 XT priced", 100.0, 1),
+            row("NITRO RX9070 unpriced", None, 2),
+            row("radeon", None, 3),          # generic series → dropped
+            row("no model here", None, 4),   # no concrete token → dropped
+            row("PULSE RX 7800 second", 0.0, 5),
+        ],
+        schema,
+    )
+    out = sapphire_rank_unpriced(df).collect()
+    assert [r.product_name for r in out] == [
+        "RX 9070 XT priced",
+        "NITRO RX9070 unpriced",
+        "PULSE RX 7800 second",
+    ]
