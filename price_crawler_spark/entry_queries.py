@@ -132,6 +132,22 @@ def q_price_strict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("price").isNotNull())
 
 
+@_register(
+    "price_format",
+    f"""SELECT p_partkey,
+       'NT$ ' || format('{{:,}}', {_BIG_SQL}) AS display
+FROM part""",
+)
+def q_price_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (price_formatter.py:27-33): NT$ {:,.0f} display format. Integer
+    input on both sides — format_number rounds HALF_EVEN where DuckDB's
+    round() is HALF_UP, so a fractional input would drift on exact .5s."""
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", prices.format_price(_big_col()).alias("display")
+    )
+
+
 # ---- scalar functions: names (F5-F9) ---------------------------------------
 
 @_register(
@@ -734,6 +750,37 @@ def q_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH probe (hyperplanes from md5 via base-16
     conv — no portable SQL mirror; rows-only check)."""
     return ann.signlsh_topk(_read(spark, sf_dir, "embeddings"), 0, 10)
+
+
+# ---- flagship crawl demo (rows-only — the synthetic web is the input) ------
+
+@_register("crawl_search_demo", oracle=None)
+def q_crawl_search_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end flagship slice through the real engine: seed → politeness
+    waves → synthetic fetch → span extraction → products → similarity
+    search('RTX 4090', sort price asc). Input is the deterministic synthetic
+    web (not the sf tables), so this is a rows-only check; ordering parity
+    with the pure-Python reference oracle is pytest-gated
+    (tests/test_frontier.py, tests/test_search.py)."""
+    import tempfile
+
+    from price_crawler_spark.frontier.wave import CrawlRun
+    from price_crawler_spark.operators.extraction import extract_products
+    from price_crawler_spark.operators.search import search
+
+    with tempfile.TemporaryDirectory() as root:
+        run = CrawlRun(spark, root, queries=["RTX 4090"])
+        run.run(max_waves=3)
+        docs = run.documents()
+        products = extract_products(docs)
+        out = search(products, "RTX 4090", sort_by="price", order="asc")
+        out = out.select(
+            "store", "product_name", "price", "in_stock",
+            F.round("similarity_score", 6).alias("similarity_score"),
+        )
+        # materialize before the tmpdir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
 
 
 # ---- multimodal family -----------------------------------------------------

@@ -148,6 +148,16 @@ def per_store_topk(df: DataFrame, k_by_store: dict[str, int], default_k: int = 5
     )
 
 
+# ---- CSV export sink (S7) ------------------------------------------------------
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S7 (streamlit_app.py:370-381): result export. ``single_file`` mirrors
+    the reference's one-file download (coalesce(1) — driver-adjacent, only
+    for UI-sized results); the default is a parallel multi-part write."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
 # ---- query cache (S8, J4) ------------------------------------------------------
 
 class QueryCache:

@@ -197,3 +197,13 @@ def test_query_cache(spark, tmp_path):
     qc.set("c", "3", t0 + datetime.timedelta(minutes=2))
     assert qc.get("a", t0 + datetime.timedelta(minutes=3)) is None
     assert qc.get("c", t0 + datetime.timedelta(minutes=3)) == "3"
+
+
+def test_export_csv(spark, products, tmp_path):
+    from price_crawler_spark.operators.search import export_csv
+
+    out = str(tmp_path / "csv_out")
+    export_csv(products, out, single_file=True)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == products.count()
+    assert set(back.columns) == set(products.columns)
