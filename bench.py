@@ -131,6 +131,115 @@ def frontier_throughput(spark, sf_dir: str) -> tuple[int, float]:
     return n_input, dt
 
 
+def seen_path_throughput(spark, sf_dir: str) -> tuple[int, float]:
+    """North-rule URL-seen layer end-to-end: in-batch first-wins dedup →
+    sharded-Bloom probe → exact anti-join residue → Bloom insert, against a
+    pre-seeded seen-set of half the URL space. Returns (n_candidates, sec).
+    """
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.frontier.seen import (
+        ShardedBloom,
+        dedup_in_batch,
+        filter_new,
+    )
+
+    n_part = spark.sparkContext.defaultParallelism * 2
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = F.col("o_orderkey")
+    cand = (
+        orders.select(o, F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("v"))
+        .select(
+            F.xxhash64(F.concat((o % 40000).cast("string"), F.lit("#"), (F.col("v") % 8).cast("string"))).alias("url_hash"),
+            (o * 100 + F.col("v")).alias("seq_key"),
+        )
+        .repartition(n_part)
+        .cache()
+    )
+    n = cand.count()
+    bloomer = ShardedBloom()
+    seen = cand.filter(F.col("url_hash") % 2 == 0).select("url_hash").distinct().cache()
+    seen.count()
+    bloom_table = bloomer.insert(seen.select("url_hash"), None).cache()
+    bloom_table.count()
+
+    t0 = time.time()
+    fresh = dedup_in_batch(cand)
+    new = filter_new(fresh, seen, bloom_table, bloomer)
+    updated = bloomer.insert(new.select("url_hash"), bloom_table)
+    _noop(updated)
+    dt = time.time() - t0
+    cand.unpersist(); seen.unpersist(); bloom_table.unpersist()
+    return n, dt
+
+
+def skew_compare(spark, sf_dir: str) -> dict:
+    """C6: mega-host skew. 50% of a 2.4M-URL frontier lands on one host;
+    compare the naive per-host window rank against the salted two-phase
+    top-k (rank within (host, salt) first, final rank over survivors)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_part = spark.sparkContext.defaultParallelism * 2
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = F.col("o_orderkey")
+    host = F.when(o % 2 == 0, F.lit("mega.example.com")).otherwise(
+        F.concat(F.lit("shop"), (o % 63).cast("string"), F.lit(".example.com"))
+    )
+    raw = (
+        orders.select(o, F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("v"))
+        .select(
+            host.alias("host"),
+            F.xxhash64(o.cast("string"), F.col("v")).alias("url_hash"),
+            (o * 16 + F.col("v")).alias("priority"),
+        )
+        .repartition(n_part)
+        .cache()
+    )
+    n = raw.count()
+    K = 2000
+    out = {"n_urls": n, "k_per_host": K}
+
+    # naive: one task sorts the mega host's 1.2M rows
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    naive = raw.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K)
+    t0 = time.time(); _noop(naive); out["naive_sec"] = round(time.time() - t0, 3)
+
+    # salted two-phase: per-(host,salt) top-K (16-way for the mega host),
+    # then the exact final top-K over ≤16K survivors per host
+    salt = F.when(F.col("host") == "mega.example.com", F.pmod("url_hash", F.lit(16))).otherwise(F.lit(0))
+    w1 = Window.partitionBy("host", "salt").orderBy(F.desc("priority"), F.asc("url_hash"))
+    w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    salted = (
+        raw.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= K)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= K)
+        .drop("salt", "r1")
+    )
+    t0 = time.time(); _noop(salted); out["salted_sec"] = round(time.time() - t0, 3)
+
+    # equivalence: identical selected sets
+    diff = naive.select("host", "url_hash").exceptAll(salted.select("host", "url_hash")).count()
+    out["selection_diff_rows"] = diff
+    raw.unpersist()
+    return out
+
+
+def run_skew() -> None:
+    from price_crawler_spark.session import get_spark
+
+    spark = get_spark("bench-skew", cores=CPUS, shuffle_partitions=CPUS)
+    skew_compare(spark, SF_DIR)  # warm-up
+    out = skew_compare(spark, SF_DIR)
+    out["metric"] = "mega-host skew: naive window vs salted two-phase top-k"
+    out["sf"] = _sf(SF_DIR)
+    out["cpus"] = CPUS
+    print(json.dumps(out))
+    spark.stop()
+
+
 def run_crawl_only() -> None:
     import statistics
 
@@ -208,6 +317,9 @@ def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling()
         return
+    if "--skew" in sys.argv:
+        run_skew()
+        return
 
     import __spark_entry__ as entrymod
     from price_crawler_spark.session import get_spark
@@ -218,6 +330,9 @@ def main() -> None:
 
     n_urls, crawl_dt = frontier_throughput(spark, SF_DIR)
     times["frontier_dedup_schedule"] = round(crawl_dt, 3)
+
+    n_seen, seen_dt = seen_path_throughput(spark, SF_DIR)
+    times["bloom_seen_path"] = round(seen_dt, 3)
 
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -235,6 +350,7 @@ def main() -> None:
         "cpus": CPUS,
         "frontier_urls": n_urls,
         "frontier_urls_per_sec": round(n_urls / crawl_dt, 1),
+        "seen_path_urls_per_sec": round(n_seen / seen_dt, 1),
     }))
     spark.stop()
 
