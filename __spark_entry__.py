@@ -17,6 +17,12 @@ from collections.abc import Callable
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+# Spark Python workers inherit the driver's env, not its sys.path — without
+# this, every pandas-UDF query dies with ModuleNotFoundError when the driver
+# process was launched outside the repo root.
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_pp}" if _pp else _REPO
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
