@@ -41,11 +41,21 @@ def schedule_wave(
     path = F.regexp_replace(
         F.col("canonical_url"), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*", ""
     )
-    denied = F.when(
-        F.col("deny").isNotNull(),
-        F.exists(F.col("deny"), lambda d: path.startswith(d)),
-    ).otherwise(F.lit(False))
-    joined = joined.withColumn("_denied", denied)
+
+    # standard robots semantics: the LONGEST matching rule wins, Allow
+    # beats Disallow on equal length
+    def _longest_match(rules: F.Column) -> F.Column:
+        return F.aggregate(
+            F.coalesce(rules, F.array().cast("array<string>")),
+            F.lit(0),
+            lambda acc, r: F.greatest(
+                acc, F.when(path.startswith(r), F.length(r)).otherwise(F.lit(0))
+            ),
+        )
+
+    deny_len = _longest_match(F.col("deny"))
+    allow_len = _longest_match(F.col("allow"))
+    joined = joined.withColumn("_denied", deny_len > allow_len)
 
     blocked = (
         joined.filter("_denied")

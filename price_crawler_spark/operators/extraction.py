@@ -83,7 +83,14 @@ def card_products(docs: DataFrame) -> DataFrame:
     """P10/P15: card spans → one row per item. Items are delimited by their
     ``title`` span: item_idx = running count of titles per doc (window over
     offset — partitions are single documents, so the window is narrow)."""
-    s = _spans(docs.filter(F.col("store").isin(CARD_STORES))).filter(
+    # only search-result pages: detail pages (second hop, S4) carry no price
+    # span and must ENRICH the parent row, never become products themselves
+    # (the reference's detail fetch refines stock/specs — dtsource.py:140-153,
+    # sunfar.py:239-282)
+    is_search_page = F.exists("spans", lambda s: s.getField("kind") == F.lit("price"))
+    s = _spans(
+        docs.filter(F.col("store").isin(CARD_STORES)).filter(is_search_page)
+    ).filter(
         F.col("kind").isin("title", "price", "link", "image", "stock", "button")
     )
     w = Window.partitionBy("doc_id").orderBy("offset")
@@ -154,7 +161,11 @@ def sinya_products(docs: DataFrame) -> DataFrame:
         .withColumn("image_url", F.col("p.image"))
         .withColumn(
             "in_stock",
-            F.when(F.col("p.stock") == 0, F.lit(False)).otherwise(F.lit(True)),
+            P.sinya_in_stock(
+                F.col("p.stock"),
+                F.col("p.display_price_status"),
+                F.col("p.prod_title"),
+            ),
         )
         .withColumn("currency", F.lit("TWD"))
         .withColumn("specifications", F.col("p.prod_subtitle"))
@@ -322,12 +333,43 @@ def sapphire_rank_unpriced(products: DataFrame, cap: int = 10) -> DataFrame:
     )
 
 
-def extract_products(docs: DataFrame) -> DataFrame:
+def detail_enrichment(docs: DataFrame) -> DataFrame:
+    """P19/P20 + S4: detail pages (second-hop fetches, no price span) keyed
+    by their URL → (url, detail_specs, detail_in_stock) for a left join
+    onto the products view."""
+    is_detail = ~F.exists(
+        "spans", lambda s: s.getField("kind") == F.lit("price")
+    ) & F.exists("spans", lambda s: s.getField("kind") == F.lit("spec"))
+    s = _spans(docs.filter(is_detail))
+    return s.groupBy(F.col("doc_id").alias("url")).agg(
+        F.max(F.when(F.col("kind") == "spec", F.col("text"))).alias(
+            "detail_specs"
+        ),
+        F.max(
+            F.when(F.col("kind") == "stock", P.is_in_stock(F.col("text")))
+        ).alias("detail_in_stock"),
+    )
+
+
+def extract_products(docs: DataFrame, enrich_details: bool = True) -> DataFrame:
     """Unified products view over all store archetypes (J0: stores are data,
-    not code paths — one DataFrame with a ``store`` column)."""
-    return (
+    not code paths — one DataFrame with a ``store`` column). Detail-page
+    documents enrich specifications via a url equi-join (broadcast-sized in
+    practice: one row per detail page fetched this run)."""
+    base = (
         coolpc_products(docs)
         .unionByName(card_products(docs))
         .unionByName(sinya_products(docs))
         .unionByName(sunfar_products(docs))
+    )
+    if not enrich_details:
+        return base
+    det = detail_enrichment(docs)
+    return (
+        base.join(det, "url", "left")
+        .withColumn(
+            "specifications", F.coalesce("specifications", "detail_specs")
+        )
+        .drop("detail_specs", "detail_in_stock")
+        .select(*PRODUCT_COLS)
     )

@@ -155,6 +155,34 @@ def is_standalone(name: Column | str) -> Column:
     return ~combo & (n_comps < 2)
 
 
+# D4 — Sinya 3-state stock (sinya.py:219-242): stock field wins; then
+# display_price_status / name OOS keywords; default 需確認庫存. Only
+# 有庫存 maps to in_stock=True (sinya.py:389-391).
+def sinya_stock_state(stock: Column, status: Column, name: Column) -> Column:
+    status_oos = (
+        status.isNotNull()
+        & _contains_any(status.cast("string"), ["缺貨", "無庫存", "補貨中"], lowercase=False)
+    )
+    name_oos = name.isNotNull() & _contains_any(
+        name, ["補貨中", "缺貨", "售完"], lowercase=False
+    )
+    return (
+        F.when(
+            stock.isNotNull(),
+            F.when(stock.cast("string") == "0", F.lit("缺貨")).otherwise(
+                F.lit("有庫存")
+            ),
+        )
+        .when(status_oos, F.lit("缺貨"))
+        .when(name_oos, F.lit("缺貨"))
+        .otherwise(F.lit("需確認庫存"))
+    )
+
+
+def sinya_in_stock(stock: Column, status: Column, name: Column) -> Column:
+    return sinya_stock_state(stock, status, name) == "有庫存"
+
+
 # D5 — Sunfar field-priority stock (sunfar.py:184-225): pos_qty>0 → buy flag
 # → prodseqstate_no=='1' → any price>0 → default True.
 def sunfar_in_stock(pos_qty: Column, buy: Column, state_no: Column, price: Column) -> Column:

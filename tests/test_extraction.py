@@ -237,3 +237,70 @@ def test_sapphire_unpriced_rank(spark):
         "NITRO RX9070 unpriced",
         "PULSE RX 7800 second",
     ]
+
+
+def test_sinya_three_state_stock(spark):
+    """D4 truth table (sinya.py:219-242 + 389-391): stock field wins; then
+    display_price_status / name keywords; default 需確認庫存; only 有庫存
+    maps to in_stock=True."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.predicates import (
+        sinya_in_stock,
+        sinya_stock_state,
+    )
+
+    rows = [
+        # (stock, status, name, expected_state)
+        (0, None, "X", "缺貨"),
+        (3, "缺貨", "X", "有庫存"),        # stock field wins over status
+        (None, "目前缺貨", "X", "缺貨"),
+        (None, "補貨中", "X", "缺貨"),
+        (None, None, "RTX 4090 售完", "缺貨"),
+        (None, None, "RTX 4090", "需確認庫存"),
+    ]
+    df = spark.createDataFrame(
+        [(s, st, n, e) for s, st, n, e in rows],
+        "stock int, status string, name string, expected string",
+    )
+    out = df.select(
+        "expected",
+        sinya_stock_state(F.col("stock"), F.col("status"), F.col("name")).alias("state"),
+        sinya_in_stock(F.col("stock"), F.col("status"), F.col("name")).alias("in_stock"),
+    ).collect()
+    for r in out:
+        assert r.state == r.expected, (r.state, r.expected)
+        assert r.in_stock == (r.expected == "有庫存")
+
+
+def test_detail_pages_enrich_not_duplicate(spark):
+    """S4/P19: a second-hop detail page (no price span) must never become a
+    standalone product; its spec span enriches the parent row by url."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import extract_products
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    detail_url = "https://www.mypc.com.tw/prod?id=abc"
+    search_spans = [
+        ("title", "ASUS RTX 4090", None, 0),
+        ("price", "NT$44,180", None, 1),
+        ("link", None, detail_url, 2),
+        ("stock", "現貨供應", None, 3),
+    ]
+    detail_spans = [
+        ("title", "ASUS RTX 4090", None, 0),
+        ("spec", "24GB GDDR6X, 2520MHz", None, 1),
+        ("stock", "現貨供應", None, 2),
+    ]
+    docs = spark.createDataFrame(
+        [
+            ("https://search", search_spans, "dtsource", 0, 0),
+            (detail_url, detail_spans, "dtsource", 1, 1),
+        ],
+        DOCUMENTS_SCHEMA,
+    ).withColumn("seq_key", F.lit("00000000"))
+    out = extract_products(docs).collect()
+    assert len(out) == 1
+    assert out[0].price == 44180.0
+    assert out[0].specifications == "24GB GDDR6X, 2520MHz"

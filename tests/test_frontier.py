@@ -198,3 +198,55 @@ def test_resume_from_checkpoint(spark, tmp_path_factory, oracle):
     docs = run2.documents()
     assert docs.count() == docs.select("doc_id").distinct().count()
     assert docs.count() >= docs_committed
+
+
+def test_robots_txt_parser(spark):
+    """J5: robots.txt subset parsing — group matching, wildcard fallback,
+    crawl-delay, comments, empty disallow."""
+    from price_crawler_spark.frontier.politeness import schedule_wave
+    from price_crawler_spark.frontier.robots import parse_robots_txt, robots_dim
+
+    body = """
+# comment line
+User-agent: GoogleBot
+Disallow: /google-only
+
+User-agent: *
+Disallow: /private
+Disallow: /tmp
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: EvilBot
+Disallow: /
+"""
+    generic = parse_robots_txt(body, "*")
+    assert generic["deny"] == ["/private", "/tmp"]
+    assert generic["allow"] == ["/private/ok"]
+    assert generic["crawl_delay"] == 2.5
+    assert parse_robots_txt(body, "EvilBot/1.0")["deny"] == ["/"]
+    assert parse_robots_txt(body, "GoogleBot")["deny"] == ["/google-only"]
+    # empty disallow in a group = allow all
+    assert parse_robots_txt("User-agent: *\nDisallow:\n", "*")["deny"] == []
+
+    # dim flows into the scheduler: /private urls blocked, delay honored
+    dim = robots_dim(spark, {"shop.example.com": body})
+    pending = spark.createDataFrame(
+        [
+            ("u1", "https://shop.example.com/private/x", 1, "shop.example.com",
+             "s", 0, 0, 0, "pending", 1),
+            ("u2", "https://shop.example.com/item/1", 2, "shop.example.com",
+             "s", 0, 0, 0, "pending", 2),
+            ("u3", "https://shop.example.com/private/ok/page", 3,
+             "shop.example.com", "s", 0, 0, 0, "pending", 3),
+        ],
+        "url string, canonical_url string, url_hash long, host string, "
+        "store string, priority int, attempts int, wave int, status string, "
+        "seq_key long",
+    )
+    scheduled, deferred, blocked = schedule_wave(pending, dim, wave_seconds=10)
+    assert [r.url for r in blocked.collect()] == ["u1"]
+    sched = sorted(scheduled.collect(), key=lambda r: r.seq_key)
+    # u3 survives: Allow /private/ok (longer match) overrides Disallow /private
+    assert [r.url for r in sched] == ["u2", "u3"]
+    assert sched[0].crawl_delay == 2.5
