@@ -194,6 +194,141 @@ def q_search_term_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select("p_partkey", names.normalize_search_term(raw).alias("term"))
 
 
+@_register(
+    "name_clean_momo",
+    """SELECT p_partkey,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+            '【限定】' || p_name || ' ★ 限時特價中', '[【】\\[\\]★☆]', '', 'g'),
+            '限時特價.*$', '', 'g'), '\\s+', ' ', 'g')) AS name
+FROM part""",
+)
+def q_name_clean_momo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (momo.py:256-268): strip 【】[]★☆ and trailing 限時特價..."""
+    part = _read(spark, sf_dir, "part")
+    raw = F.concat(F.lit("【限定】"), F.col("p_name"), F.lit(" ★ 限時特價中"))
+    return part.select("p_partkey", names.momo_clean_name(raw).alias("name"))
+
+
+_FEAT_NAME_SQL = (
+    "('GIGABYTE RTX ' || CAST(4060 + p_partkey % 40 AS VARCHAR) || ' Ti "
+    "' || CAST(8 + p_partkey % 25 AS VARCHAR) || 'GB ' || p_name "
+    "|| ' ' || CAST(1800 + p_partkey % 900 AS VARCHAR) || 'MHz')"
+)
+
+
+@_register(
+    "feature_extract",
+    f"""WITH nm AS (SELECT p_partkey, {_FEAT_NAME_SQL} AS name FROM part)
+SELECT p_partkey,
+       regexp_extract(lower(name), '(\\d+)gb', 1) AS mem_gb,
+       regexp_extract(lower(name), '(\\d+)mhz', 1) AS clock_mhz,
+       regexp_extract(lower(name), '(rtx|gtx|rx|i\\d|ryzen)\\s*\\d+[a-z]*', 0) AS model
+FROM nm""",
+)
+def q_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (product_matcher.py:46-80): spec/model regex features."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    name = F.concat(
+        F.lit("GIGABYTE RTX "), (4060 + pk % 40).cast("string"),
+        F.lit(" Ti "), (8 + pk % 25).cast("string"), F.lit("GB "),
+        F.col("p_name"), F.lit(" "), (1800 + pk % 900).cast("string"),
+        F.lit("MHz"),
+    )
+    low = F.lower(name)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract(low, r"(\d+)gb", 1).alias("mem_gb"),
+        F.regexp_extract(low, r"(\d+)mhz", 1).alias("clock_mhz"),
+        F.regexp_extract(low, r"(rtx|gtx|rx|i\d|ryzen)\s*\d+[a-z]*", 0).alias("model"),
+    )
+
+
+_DT_NAME_SQL = """(p_name || CASE p_partkey % 5
+  WHEN 0 THEN ' (已售完 請勿下單)' WHEN 1 THEN ' 停產'
+  WHEN 2 THEN ' （缺貨）' ELSE '' END)"""
+
+
+@_register(
+    "dtsource_stock",
+    f"""WITH nm AS (SELECT p_partkey, {_DT_NAME_SQL} AS name FROM part)
+SELECT p_partkey, name,
+       (NOT ({duckdb_contains_any("name", predicates.DTSOURCE_OOS_KEYWORDS, lowercase=False)})
+        AND NOT regexp_matches(name,
+          '\\(.*已售完.*\\)|\\(.*請勿下單.*\\)|\\(.*僅提供報價.*\\)|\\(.*缺貨.*\\)|\\(.*停產.*\\)|\\(.*暫停.*\\)|（.*已售完.*）|（.*請勿下單.*）|（.*僅提供報價.*）|（.*缺貨.*）')
+       ) AS in_stock
+FROM nm""",
+)
+def q_dtsource_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (dtsource.py:26-73): OOS keyword list + bracket regexes over the
+    product NAME."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    name = F.concat(
+        F.col("p_name"),
+        F.when(pk % 5 == 0, F.lit(" (已售完 請勿下單)"))
+        .when(pk % 5 == 1, F.lit(" 停產"))
+        .when(pk % 5 == 2, F.lit(" （缺貨）"))
+        .otherwise(F.lit("")),
+    )
+    return part.select(
+        "p_partkey",
+        name.alias("name"),
+        predicates.dtsource_in_stock(name).alias("in_stock"),
+    )
+
+
+@_register(
+    "sort_by_name",
+    """SELECT o_orderkey, nm, rn FROM (
+  SELECT o_orderkey, 'Item-' || CAST(o_orderkey % 97 AS VARCHAR) AS nm,
+         row_number() OVER (ORDER BY lower('Item-' || CAST(o_orderkey % 97 AS VARCHAR)),
+                            o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 100""",
+)
+def q_sort_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 (main.py:279-286): name sort = lower(product_name), stable seq
+    tie-break."""
+    orders = _read(spark, sf_dir, "orders")
+    nm = F.concat(F.lit("Item-"), (F.col("o_orderkey") % 97).cast("string"))
+    w = Window.orderBy(F.lower(nm), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderkey", nm.alias("nm"), F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 100)
+    )
+
+
+@_register(
+    "filter_stats",
+    """SELECT count(*) AS before_n,
+       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS after_n,
+       format('{:.1f}', 100.0 * (1 - sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::DOUBLE / count(*))) || '%' AS filter_rate
+FROM lineitem""",
+)
+def q_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (README.md:203-208): before/after counts + filter-rate string."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("before_n"),
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("after_n"),
+        F.concat(
+            F.format_string(
+                "%.1f",
+                100.0
+                * (
+                    1
+                    - F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0))
+                    / F.count("*")
+                ),
+            ),
+            F.lit("%"),
+        ).alias("filter_rate"),
+    )
+
+
 # ---- extraction (P2/P3: CoolPC option scan) --------------------------------
 
 _OPTION_TEXT_SQL = (
