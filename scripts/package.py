@@ -1,0 +1,30 @@
+"""Build price_crawler_spark.zip for spark-submit --py-files deployment.
+
+Usage: python scripts/package.py [out_path]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str) -> str:
+    pkg = os.path.join(REPO, "price_crawler_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return out
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "price_crawler_spark.zip")
+    print(build(out))
