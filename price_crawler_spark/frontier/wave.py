@@ -114,7 +114,7 @@ class CrawlRun:
             return False
 
         sched, deferred, blocked = politeness.schedule_wave(
-            pending, self.robots, self.wave_seconds
+            pending, self.robots, self.wave_seconds, mega_hosts=self.mega_hosts
         )
         sched = politeness.with_host_salt(sched, self.mega_hosts).drop("host_salt")
 

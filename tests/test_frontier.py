@@ -250,3 +250,38 @@ Disallow: /
     # u3 survives: Allow /private/ok (longer match) overrides Disallow /private
     assert [r.url for r in sched] == ["u2", "u3"]
     assert sched[0].crawl_delay == 2.5
+
+
+def test_two_phase_schedule_equals_single_phase(spark):
+    """C6: salted two-phase scheduling selects the IDENTICAL set as the
+    naive per-host rank, and defers everything else."""
+    import random
+
+    from price_crawler_spark.frontier.politeness import schedule_wave
+    from price_crawler_spark.schemas import ROBOTS_SCHEMA
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        host = "mega.example.com" if i % 2 == 0 else f"s{i % 7}.example.com"
+        rows.append(
+            (f"u{i}", f"https://{host}/p/{i}", rng.getrandbits(40), host,
+             "s", rng.randint(0, 5), 0, 0, "pending", i)
+        )
+    pending = spark.createDataFrame(
+        rows,
+        "url string, canonical_url string, url_hash long, host string, "
+        "store string, priority int, attempts int, wave int, status string, "
+        "seq_key long",
+    )
+    robots = spark.createDataFrame(
+        [("mega.example.com", None, None, 1.0)], ROBOTS_SCHEMA
+    )
+    s1, d1, _ = schedule_wave(pending, robots, wave_seconds=10)
+    s2, d2, _ = schedule_wave(
+        pending, robots, wave_seconds=10, mega_hosts=["mega.example.com"]
+    )
+    sel1 = sorted(r.url for r in s1.collect())
+    sel2 = sorted(r.url for r in s2.collect())
+    assert sel1 == sel2 and len(sel1) > 0
+    assert sorted(r.url for r in d1.collect()) == sorted(r.url for r in d2.collect())
