@@ -785,6 +785,24 @@ def q_cache_ttl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.groupBy("event_type").agg(F.count("*").alias("n_live"))
 
 
+@_register(
+    "windowed_event_counts",
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2""",
+)
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch shape of
+    streaming.windowed_fetch_metrics): per-hour per-type counts + value
+    sums."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
 # ---- similarity (J1 — difflib pandas UDF; no SQL equivalent) ---------------
 
 @_register("similarity_match", oracle=None)
