@@ -444,6 +444,80 @@ def q_js_repair_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["js_repair_parse"] = _js_repair_oracle()
 
 
+# ---- P19/P20: detail spec parsing ------------------------------------------
+
+@_register(
+    "spec_kv_parse",
+    """WITH lines AS (
+  SELECT p_partkey,
+         ['處理器: ' || p_name,
+          '記憶體：' || CAST(8 + p_partkey % 25 AS VARCHAR) || 'GB',
+          'no colon here',
+          '尺寸: ' || CAST(p_size AS VARCHAR)] AS ls
+  FROM part
+), ex AS (
+  SELECT p_partkey, unnest(range(0, len(lf))) AS pos, unnest(lf) AS l
+  FROM (SELECT p_partkey,
+               list_filter(ls, x -> regexp_matches(x, '^([^:：]+)[:：]\\s*(.*)$')) AS lf
+        FROM lines)
+)
+SELECT p_partkey, pos,
+       trim(regexp_extract(l, '^([^:：]+)[:：]\\s*(.*)$', 1)) AS k,
+       trim(regexp_extract(l, '^([^:：]+)[:：]\\s*(.*)$', 2)) AS v
+FROM ex""",
+)
+def q_spec_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20 (momo.py:270-310): spec lines split on half/full-width colons;
+    non-spec lines dropped; exploded with position."""
+    from price_crawler_spark.operators.extraction import spec_lines_to_entries
+
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    lines = F.array(
+        F.concat(F.lit("處理器: "), F.col("p_name")),
+        F.concat(F.lit("記憶體："), (8 + pk % 25).cast("string"), F.lit("GB")),
+        F.lit("no colon here"),
+        F.concat(F.lit("尺寸: "), F.col("p_size").cast("string")),
+    )
+    entries = spec_lines_to_entries(lines)
+    return part.select(
+        "p_partkey", F.posexplode(entries).alias("pos", "e")
+    ).select(
+        "p_partkey", "pos",
+        F.col("e.k").alias("k"), F.col("e.v").alias("v"),
+    )
+
+
+@_register(
+    "spec_join",
+    """SELECT p_partkey,
+       array_to_string(['CPU: ' || p_name, 'Size: ' || CAST(p_size AS VARCHAR)], '; ') AS specs,
+       substr(repeat(p_name || ' ', 60), 1, 500) AS description
+FROM part""",
+)
+def q_spec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19 (sunfar.py:239-282) + P20 truncation: k:v spec join with '; ',
+    500-char description cap."""
+    from price_crawler_spark.operators.extraction import (
+        spec_kv_join,
+        truncate_description,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    pairs = F.array(
+        F.struct(F.lit("CPU").alias("k"), F.col("p_name").alias("v")),
+        F.struct(
+            F.lit("Size").alias("k"), F.col("p_size").cast("string").alias("v")
+        ),
+    )
+    desc = F.repeat(F.concat(F.col("p_name"), F.lit(" ")), 60)
+    return part.select(
+        "p_partkey",
+        spec_kv_join(pairs).alias("specs"),
+        truncate_description(desc).alias("description"),
+    )
+
+
 # ---- predicates (D1, D10) --------------------------------------------------
 
 _STOCK_CHOICES = ["現貨供應", "缺貨中", "售完", "預購商品", ""]

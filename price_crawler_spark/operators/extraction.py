@@ -333,6 +333,37 @@ def sapphire_rank_unpriced(products: DataFrame, cap: int = 10) -> DataFrame:
     )
 
 
+def spec_kv_join(pairs: F.Column) -> F.Column:
+    """P19 (sunfar.py:239-282): array<struct<k,v>> spec rows → 'k: v; k: v'."""
+    return F.array_join(
+        F.transform(
+            pairs,
+            lambda x: F.concat(x.getField("k"), F.lit(": "), x.getField("v")),
+        ),
+        "; ",
+    )
+
+
+SPEC_LINE_RE = r"^([^:：]+)[:：]\s*(.*)$"
+
+
+def spec_lines_to_entries(lines: F.Column) -> F.Column:
+    """P20 (momo.py:270-310): 'key: value' / 'key：value' lines → array of
+    (k, v) structs (map_from_entries-ready; half/full-width colons)."""
+    return F.transform(
+        F.filter(lines, lambda l: l.rlike(SPEC_LINE_RE)),
+        lambda l: F.struct(
+            F.trim(F.regexp_extract(l, SPEC_LINE_RE, 1)).alias("k"),
+            F.trim(F.regexp_extract(l, SPEC_LINE_RE, 2)).alias("v"),
+        ),
+    )
+
+
+def truncate_description(col: F.Column, n: int = 500) -> F.Column:
+    """P20: description capped at 500 chars (momo.py:305-308)."""
+    return F.substring(col, 1, n)
+
+
 def detail_enrichment(docs: DataFrame) -> DataFrame:
     """P19/P20 + S4: detail pages (second-hop fetches, no price span) keyed
     by their URL → (url, detail_specs, detail_in_stock) for a left join

@@ -304,3 +304,32 @@ def test_detail_pages_enrich_not_duplicate(spark):
     assert len(out) == 1
     assert out[0].price == 44180.0
     assert out[0].specifications == "24GB GDDR6X, 2520MHz"
+
+
+def test_spec_kv_operators(spark):
+    """P19/P20: spec join, colon-split entries (half+full width), 500-char
+    description truncation."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import (
+        spec_kv_join,
+        spec_lines_to_entries,
+        truncate_description,
+    )
+
+    df = spark.createDataFrame([(1,)], ["id"]).select(
+        spec_kv_join(
+            F.array(
+                F.struct(F.lit("CPU").alias("k"), F.lit("i9").alias("v")),
+                F.struct(F.lit("RAM").alias("k"), F.lit("32GB").alias("v")),
+            )
+        ).alias("joined"),
+        spec_lines_to_entries(
+            F.array(F.lit("a: 1"), F.lit("b：2"), F.lit("junk"), F.lit("c: x: y"))
+        ).alias("entries"),
+        truncate_description(F.lit("z" * 900)).alias("desc"),
+    )
+    row = df.collect()[0]
+    assert row.joined == "CPU: i9; RAM: 32GB"
+    assert [(e.k, e.v) for e in row.entries] == [("a", "1"), ("b", "2"), ("c", "x: y")]
+    assert len(row.desc) == 500
