@@ -333,6 +333,85 @@ def sapphire_rank_unpriced(products: DataFrame, cap: int = 10) -> DataFrame:
     )
 
 
+_GENERIC_ITEM = (
+    "name:string,title:string,product_name:string,product_title:string,"
+    "price:string,current_price:string,selling_price:string,amount:string,"
+    "id:string,product_id:string,sku:string,handle:string,"
+    "url:string,link:string,href:string,product_url:string,"
+    "image:string,image_url:string,thumbnail:string,photo:string"
+)
+GENERIC_JSON_SCHEMA = (
+    f"struct<products:array<struct<{_GENERIC_ITEM}>>,"
+    f"items:array<struct<{_GENERIC_ITEM}>>,"
+    f"results:array<struct<{_GENERIC_ITEM}>>,"
+    f"data:array<struct<{_GENERIC_ITEM}>>>"
+)
+
+
+def generic_json_products(docs: DataFrame) -> DataFrame:
+    """P13 (sapphire.py:241-268, 302-380): permissive JSON product walk —
+    the item array is whichever of products/items/results/data is present;
+    every field is a coalesce over the reference's candidate-key lists
+    (_get_json_value, sapphire.py:382-387). Emits the canonical product
+    row; rows without any name candidate are dropped (parity with
+    _parse_json_product returning None)."""
+    s = _spans(docs).filter(
+        (F.col("kind") == "json")
+        & F.col("text").rlike(r'"(products|items|results|data)"\s*:')
+    )
+    parsed = F.from_json(F.col("text"), GENERIC_JSON_SCHEMA)
+    items = F.coalesce(
+        parsed.getField("products"),
+        parsed.getField("items"),
+        parsed.getField("results"),
+        parsed.getField("data"),
+    )
+    ex = s.select(
+        "doc_id", "store", "seq_key", F.posexplode(items).alias("pos", "p")
+    )
+
+    def _first(*keys: str) -> F.Column:
+        cands = [
+            F.when(
+                F.col(f"p.{k}").isNotNull() & (F.col(f"p.{k}") != ""),
+                F.col(f"p.{k}"),
+            )
+            for k in keys
+        ]
+        return F.coalesce(*cands)
+
+    name = _first("name", "title", "product_name", "product_title")
+    price = extract_price(
+        _first("price", "current_price", "selling_price", "amount")
+    )
+    url = _first("url", "link", "href", "product_url")
+    img = _first("image", "image_url", "thumbnail", "photo")
+    base = F.lit("https://sapphiretech.cyberbiz.co/")
+    out = (
+        ex.filter(name.isNotNull())
+        .withColumn("product_name", collapse_spaces(name))
+        .withColumn("price", F.coalesce(price, F.lit(0.0)))
+        .withColumn(
+            "url",
+            F.when(url.isNull(), F.lit(""))
+            .when(url.rlike("^https?://"), url)
+            .otherwise(F.concat(base, F.regexp_replace(url, "^/", ""))),
+        )
+        .withColumn("in_stock", F.lit(True))
+        .withColumn("currency", F.lit("TWD"))
+        .withColumn(
+            "image_url",
+            F.when(img.isNull() | img.rlike("^https?://"), img).otherwise(
+                F.concat(base, F.regexp_replace(img, "^/", ""))
+            ),
+        )
+        .withColumn("specifications", F.lit(None).cast("string"))
+        .withColumn("is_bundle", F.lit(False))
+        .withColumn("seq", _seq(F.col("seq_key"), F.col("pos")))
+    )
+    return out.select(*PRODUCT_COLS)
+
+
 def spec_kv_join(pairs: F.Column) -> F.Column:
     """P19 (sunfar.py:239-282): array<struct<k,v>> spec rows → 'k: v; k: v'."""
     return F.array_join(

@@ -333,3 +333,29 @@ def test_spec_kv_operators(spark):
     assert row.joined == "CPU: i9; RAM: 32GB"
     assert [(e.k, e.v) for e in row.entries] == [("a", "1"), ("b", "2"), ("c", "x: y")]
     assert len(row.desc) == 500
+
+
+def test_generic_json_walk(spark):
+    """P13: products/items/results/data candidate arrays; multi-key field
+    coalesce; relative URL absolutization; nameless items dropped."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import generic_json_products
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    payload = (
+        '{"items": ['
+        '{"title": "RX 9070 NITRO", "current_price": "NT$23,000", "link": "/p/1"},'
+        '{"product_name": "RX 9060", "amount": "15000", "product_url": "https://x.com/p2"},'
+        '{"price": "999"}'
+        "]}"
+    )
+    docs = spark.createDataFrame(
+        [("d1", [("json", payload, None, 0)], "sapphire", 0, 0)],
+        DOCUMENTS_SCHEMA,
+    ).withColumn("seq_key", F.lit("00000000"))
+    out = generic_json_products(docs).orderBy("seq").collect()
+    assert [(r.product_name, r.price, r.url) for r in out] == [
+        ("RX 9070 NITRO", 23000.0, "https://sapphiretech.cyberbiz.co/p/1"),
+        ("RX 9060", 15000.0, "https://x.com/p2"),
+    ]  # third item has no name → dropped
