@@ -171,6 +171,101 @@ def filter_new(
     return definite_new.unionByName(survivors).drop("maybe_seen", "h2", "shard")
 
 
+class ShardedCuckoo:
+    """Distributed sharded cuckoo filter — the deletion-capable URL-seen
+    variant (re-crawl invalidation: a URL scheduled for refresh is DELETEd
+    from the filter so the next wave treats it as new).
+
+    Same cogroup discipline as :class:`ShardedBloom`: shard bytes cross the
+    shuffle once per shard; shard = pmod(url_hash, n_shards) is
+    parallelism-independent. Each shard is a :class:`CuckooShard` blob in a
+    (shard, bits) snapshot table.
+    """
+
+    def __init__(self, n_shards: int = 64, n_buckets: int = 1 << 14, slots: int = 4):
+        self.n_shards = n_shards
+        self.n_buckets = n_buckets
+        self.slots = slots
+
+    def with_keys(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "shard", F.pmod(F.col("url_hash"), F.lit(self.n_shards)).cast("int")
+        )
+
+    def _empty(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], BLOOM_SCHEMA)
+
+    def _apply(self, ops: DataFrame, table: DataFrame | None, delete: bool) -> DataFrame:
+        nb, sl = self.n_buckets, self.slots
+
+        def _mutate(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            raw = right["bits"].iloc[0] if len(right) else None
+            if len(left) == 0:
+                return pd.DataFrame({"shard": [int(key[0])], "bits": [raw]})
+            shard = (
+                CuckooShard.from_bytes(raw, nb, sl)
+                if raw is not None
+                else CuckooShard(nb, sl)
+            )
+            # cuckoo eviction walks make the TABLE BYTES order-sensitive;
+            # sort so the bytes are identical under any input partitioning
+            for h in left["url_hash"].sort_values():
+                if delete:
+                    shard.delete(int(h))
+                else:
+                    shard.insert(int(h))
+            return pd.DataFrame(
+                {"shard": [int(key[0])], "bits": [shard.to_bytes()]}
+            )
+
+        ops = self.with_keys(ops) if "shard" not in ops.columns else ops
+        if table is None:
+            table = self._empty(ops.sparkSession)
+        return (
+            ops.select("shard", "url_hash")
+            .groupBy("shard")
+            .cogroup(table.groupBy("shard"))
+            .applyInPandas(_mutate, BLOOM_SCHEMA)
+        )
+
+    def insert(self, new: DataFrame, table: DataFrame | None) -> DataFrame:
+        return self._apply(new, table, delete=False)
+
+    def delete(self, gone: DataFrame, table: DataFrame | None) -> DataFrame:
+        return self._apply(gone, table, delete=True)
+
+    def probe(self, cand: DataFrame, table: DataFrame | None) -> DataFrame:
+        """Adds ``maybe_seen``; like Bloom, no false negatives (an exact
+        anti-join downstream keeps the final set exact)."""
+        nb, sl = self.n_buckets, self.slots
+
+        def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            out = left.copy()
+            if len(left) == 0:
+                out["maybe_seen"] = pd.Series([], dtype=bool)
+                return out
+            raw = right["bits"].iloc[0] if len(right) else None
+            if raw is None:
+                out["maybe_seen"] = False
+                return out
+            shard = CuckooShard.from_bytes(raw, nb, sl)
+            out["maybe_seen"] = [shard.contains(int(h)) for h in left["url_hash"]]
+            return out
+
+        cand = self.with_keys(cand) if "shard" not in cand.columns else cand
+        if table is None:
+            table = self._empty(cand.sparkSession)
+        schema = T.StructType(
+            list(cand.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        )
+        return (
+            cand.groupBy("shard")
+            .cogroup(table.groupBy("shard"))
+            .applyInPandas(_probe, schema)
+        )
+
+
 class CuckooShard:
     """Deterministic cuckoo filter (16-bit fingerprints, 4-way buckets) —
     the deletion-capable fallback the north rule asks for (e.g. evicting

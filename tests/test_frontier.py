@@ -285,3 +285,34 @@ def test_two_phase_schedule_equals_single_phase(spark):
     sel2 = sorted(r.url for r in s2.collect())
     assert sel1 == sel2 and len(sel1) > 0
     assert sorted(r.url for r in d1.collect()) == sorted(r.url for r in d2.collect())
+
+
+def test_sharded_cuckoo_insert_delete_probe(spark):
+    """Distributed cuckoo seen-layer: insert → all maybe_seen; delete half →
+    deleted hashes drop out (modulo fp collisions, only FEWER hits allowed,
+    never false negatives on the kept half); deterministic across
+    partitionings."""
+    from price_crawler_spark.frontier.seen import ShardedCuckoo
+
+    ck = ShardedCuckoo(n_shards=8, n_buckets=1 << 10)
+    df = spark.range(0, 400).select(F.xxhash64("id").alias("url_hash"))
+    table = ck.insert(df, None)
+    probed = ck.probe(ck.with_keys(df), table)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+    gone = spark.range(0, 200).select(F.xxhash64("id").alias("url_hash"))
+    kept = spark.range(200, 400).select(F.xxhash64("id").alias("url_hash"))
+    table2 = ck.delete(gone, table)
+    kept_probe = ck.probe(ck.with_keys(kept), table2)
+    assert kept_probe.filter(~F.col("maybe_seen")).count() == 0  # no false neg
+    gone_probe = ck.probe(ck.with_keys(gone), table2)
+    # the overwhelming majority of deleted hashes must now miss
+    assert gone_probe.filter(F.col("maybe_seen")).count() < 10
+
+    # determinism: same table bytes under different input partitioning
+    t_a = sorted((r.shard, bytes(r.bits)) for r in ck.insert(df, None).collect())
+    t_b = sorted(
+        (r.shard, bytes(r.bits))
+        for r in ck.insert(df.repartition(13), None).collect()
+    )
+    assert t_a == t_b
