@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",

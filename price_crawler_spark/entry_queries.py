@@ -950,6 +950,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
 
 
+@_register("dedup_minhash_lsh_fast", oracle=None)
+def q_dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hash family (seeded xxhash64 — JVM-native, no portable
+    mirror): same banding/verify pipeline as dedup_minhash_lsh."""
+    return dedup.minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), family="fast"
+    )
+
+
 @_register("dedup_simhash", dedup.duckdb_simhash())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_read(spark, sf_dir, "documents"))

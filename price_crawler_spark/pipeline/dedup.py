@@ -90,6 +90,19 @@ def _hex_int(h: Column, start: int, length: int = 12) -> Column:
     return F.conv(F.substring(h, start, length), 16, 10).cast("long")
 
 
+_M48 = 1 << 48  # 48-bit hash range: h1 + 15*h2 < 2^53, no ANSI long overflow
+
+
+def fast_shingle_hash(s: Column) -> Column:
+    """int48 shingle hash, JVM-native (xxhash64 ≫ md5 throughput per byte).
+    A fully string-free rolling variant (token hashes combined via
+    element_at) was measured SLOWER here — higher-order-function lambdas
+    evaluate interpreted with per-element boxing, which costs more than the
+    shingle-string md5 it avoids — so the fast family keeps the string
+    shingles and swaps only the hash."""
+    return F.pmod(F.xxhash64(s), F.lit(_M48))
+
+
 def _minhash_sig(hh: Column, num_hashes: int) -> Column:
     """Array of ``num_hashes`` int64 minhash values from the per-shingle
     (h1, h2) struct array ``hh``. The struct is materialized ONCE before the
@@ -111,21 +124,37 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
+    family: str = "portable",
 ) -> DataFrame:
     """(id, shh, sig) for docs with ≥1 shingle (shorter docs can't be
-    near-dup candidates at shingle size k). ``shh`` is the int48-hashed
+    near-dup candidates at shingle size k). ``shh`` is the int-hashed
     distinct shingle set — the exact-Jaccard verifier compares int64 arrays,
-    not 30-char strings (smaller shuffle, cheaper intersect)."""
+    not 30-char strings (smaller shuffle, cheaper intersect).
+
+    ``family``: 'portable' = md5-derived 48-bit halves, bit-reproducible in
+    DuckDB/Python (the oracle-checked variant); 'fast' = seeded xxhash64
+    halves, JVM-native (no engine-portable mirror — the production choice
+    when oracle replay isn't required)."""
     sh = F.array_distinct(shingles(text_col, k))
     base = docs.select(F.col(id_col).alias("id"), sh.alias("sh")).filter(
         F.size("sh") > 0
     )
-    hh = F.transform(
-        F.col("sh"),
-        lambda s: F.struct(
-            _hex_int(F.md5(s), 1).alias("h1"), _hex_int(F.md5(s), 13).alias("h2")
-        ),
-    )
+    if family == "fast":
+        hh = F.transform(
+            F.col("sh"),
+            lambda s: F.struct(
+                fast_shingle_hash(s).alias("h1"),
+                F.pmod(F.xxhash64(s, F.lit(1)), F.lit(_M48)).alias("h2"),
+            ),
+        )
+    else:
+        hh = F.transform(
+            F.col("sh"),
+            lambda s: F.struct(
+                _hex_int(F.md5(s), 1).alias("h1"),
+                _hex_int(F.md5(s), 13).alias("h2"),
+            ),
+        )
     base = base.withColumn("hh", hh).drop("sh")
     shh = F.array_distinct(
         F.transform(F.col("hh"), lambda x: x.getField("h1"))
@@ -145,6 +174,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.2,
+    family: str = "portable",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via banded LSH.
 
@@ -157,7 +187,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes, family)
 
     def _band_key(b: int) -> Column:
         return F.array_join(
@@ -370,6 +400,7 @@ def blocked_jaccard_pairs(
     block_cols: tuple[str, ...] = ("source",),
     k: int = 3,
     top_n: int = 20,
+    family: str = "portable",
 ) -> DataFrame:
     """Exact k-gram Jaccard over overlapping pairs sharing a blocking key;
     global top-N by (jaccard desc, id_a, id_b) — fully deterministic.
@@ -383,9 +414,14 @@ def blocked_jaccard_pairs(
     cross a shuffle). |A∪B| = |A|+|B|-|A∩B| since shingle sets are distinct.
     Pairs with zero overlap have jaccard 0 and are never near-dups; they are
     excluded by construction."""
-    sh = F.array_distinct(
-        F.transform(shingles(text_col, k), lambda s: _hex_int(F.md5(s), 1))
-    )
+    if family == "fast":
+        sh = F.array_distinct(
+            F.transform(shingles(text_col, k), fast_shingle_hash)
+        )
+    else:
+        sh = F.array_distinct(
+            F.transform(shingles(text_col, k), lambda s: _hex_int(F.md5(s), 1))
+        )
     base = docs.select(
         F.col(id_col).alias("id"), *block_cols, sh.alias("sh")
     ).filter(F.size("sh") > 0).persist()

@@ -148,3 +148,27 @@ def test_sample_frames_matches_duckdb(docs, duck):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode_image(b"\x89PNG")
+
+
+def test_minhash_fast_family_agrees_on_exact_dups(spark):
+    """The fast (xxhash64) family must find the same exact-duplicate pairs
+    as the portable family — same banding, different hash family."""
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)]
+        + [(10, "totally different content with many unique words here")],
+        ["doc_id", "text"],
+    )
+    portable = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, threshold=0.9).collect()}
+    fast = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df, threshold=0.9, family="fast").collect()}
+    expected = {(a, b) for a in range(4) for b in range(4) if a < b}
+    assert portable == fast == expected
+
+
+def test_blocked_jaccard_fast_family_same_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "s"), (2, "a b c d e g", "s"), (3, "x y z w q r", "s")],
+        ["doc_id", "text", "source"],
+    )
+    p = {(r.id_a, r.id_b): r.jaccard for r in dedup.blocked_jaccard_pairs(df).collect()}
+    f = {(r.id_a, r.id_b): r.jaccard for r in dedup.blocked_jaccard_pairs(df, family="fast").collect()}
+    assert p == f  # jaccard over hashed sets is hash-family-invariant (no collisions here)
