@@ -241,6 +241,52 @@ def run_skew() -> None:
     spark.stop()
 
 
+def run_engine() -> None:
+    """Full wave-loop throughput (schedule → politeness → fetch UDF →
+    extraction-ready docs → snapshot commit) on an expanded synthetic web:
+    SPARK_GRAFT_CATALOG_N products, one narrow query per product slice.
+    Reported URLs/s includes ALL engine overhead (per-wave commits, Bloom,
+    retries) — the honest end-to-end number, vs. the frontier job which
+    isolates the dedup hot path. Politeness is disabled via a huge
+    wave-seconds budget (throughput mode; quota semantics are pytest-gated
+    separately)."""
+    import tempfile
+
+    os.environ.setdefault("SPARK_GRAFT_CATALOG_N", "3000")
+    n_queries = int(os.environ.get("SPARK_GRAFT_ENGINE_QUERIES", "800"))
+
+    from price_crawler_spark.frontier.wave import CrawlRun
+    from price_crawler_spark.session import get_spark
+
+    from price_crawler_spark.frontier.seeds import STORE_HOST
+
+    spark = get_spark("bench-engine", cores=CPUS, shuffle_partitions=CPUS)
+    queries = [f"gpu{i:06d}" for i in range(n_queries)]
+    with tempfile.TemporaryDirectory() as root:
+        t0 = time.time()
+        # throughput mode: every host is salt-split (politeness quotas are
+        # uncapped here, so per-host sequencing constraints don't apply)
+        run = CrawlRun(
+            spark, root, queries=queries, wave_seconds=1e6,
+            mega_hosts=list(STORE_HOST.values()),
+        )
+        waves = run.run(max_waves=10)
+        n_docs = run.documents().count()
+        n_urls = run.frontier().count()
+        dt = time.time() - t0
+    print(json.dumps({
+        "metric": "wave-loop end-to-end URLs/sec (incl. commits, bloom, retries)",
+        "waves": waves,
+        "frontier_urls": n_urls,
+        "docs_fetched": n_docs,
+        "sec": round(dt, 2),
+        "urls_per_sec": round(n_docs / dt, 1),
+        "catalog_n": int(os.environ["SPARK_GRAFT_CATALOG_N"]),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
 def run_crawl_only() -> None:
     import statistics
 
@@ -320,6 +366,9 @@ def main() -> None:
         return
     if "--skew" in sys.argv:
         run_skew()
+        return
+    if "--engine" in sys.argv:
+        run_engine()
         return
 
     import __spark_entry__ as entrymod

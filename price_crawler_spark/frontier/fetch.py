@@ -39,8 +39,13 @@ _EXTRA_FIELDS = [
 
 
 def fetch_scheduled(sched: DataFrame) -> DataFrame:
-    """scheduled frontier rows -> rows + (ok, spans_json, links_json)."""
-    keep = [c for c in sched.columns if c != "crawl_delay"]
+    """scheduled frontier rows -> rows + (ok, spans_json, links_json).
+
+    Grouped by ``host_salt`` when present (C6: a mega host's quota-selected
+    URLs spread over salt buckets, each bucket one Arrow batch), else by
+    true host."""
+    group_key = "host_salt" if "host_salt" in sched.columns else "host"
+    keep = [c for c in sched.columns if c not in ("crawl_delay", "host_salt")]
     out_schema = T.StructType(
         [f for f in sched.schema.fields if f.name in keep] + _EXTRA_FIELDS
     )
@@ -74,7 +79,8 @@ def fetch_scheduled(sched: DataFrame) -> DataFrame:
         out["links_json"] = links_js
         return out
 
-    return sched.select(*keep).groupBy("host").applyInPandas(
+    cols = keep if group_key in keep else [*keep, group_key]
+    return sched.select(*cols).groupBy(group_key).applyInPandas(
         _fetch_batch, out_schema
     )
 

@@ -116,7 +116,7 @@ class CrawlRun:
         sched, deferred, blocked = politeness.schedule_wave(
             pending, self.robots, self.wave_seconds, mega_hosts=self.mega_hosts
         )
-        sched = politeness.with_host_salt(sched, self.mega_hosts).drop("host_salt")
+        sched = politeness.with_host_salt(sched, self.mega_hosts)
 
         fetched = fetch_scheduled(sched).persist()
         ok = fetched.filter("ok")

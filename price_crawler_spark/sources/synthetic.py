@@ -52,6 +52,49 @@ CATALOG = [
 OUT_OF_STOCK_TEXT = "已售完 請勿下單 僅提供報價"
 IN_STOCK_TEXT = "現貨供應"
 
+# Parametric catalog expansion for engine-scale benchmarks (bench.py
+# --engine): SPARK_GRAFT_CATALOG_N extra deterministic products. 0 (the
+# default) keeps the reference's 17-product mock exactly — all golden tests
+# run with the env unset. Read at import time so Spark workers (which
+# inherit the driver env) build the identical universe.
+import os as _os
+
+_CATALOG_N = int(_os.environ.get("SPARK_GRAFT_CATALOG_N", "0"))
+if _CATALOG_N:
+    CATALOG = CATALOG + [
+        (
+            f"Xpanded GPU{i:06d} {8 + i % 25}GB Model",
+            5000 + i % 40000,
+            f"{8 + i % 25}GB, {1800 + i % 900}MHz",
+        )
+        for i in range(_CATALOG_N)
+    ]
+
+# precomputed indexes so page synthesis stays fast at large catalog sizes
+_NORM_CATALOG: list | None = None
+_PID_INDEX: dict | None = None
+
+
+def _norm_catalog() -> list:
+    global _NORM_CATALOG
+    if _NORM_CATALOG is None:
+        _NORM_CATALOG = [
+            (name, _norm(name), base, specs) for name, base, specs in CATALOG
+        ]
+    return _NORM_CATALOG
+
+
+def _pid_index(store: str) -> dict:
+    global _PID_INDEX
+    if _PID_INDEX is None:
+        _PID_INDEX = {}
+    if store not in _PID_INDEX:
+        _PID_INDEX[store] = {
+            _pid(store, name): (name, base, specs)
+            for name, base, specs in CATALOG
+        }
+    return _PID_INDEX[store]
+
 
 def _h(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
@@ -81,13 +124,16 @@ def _query_of(url: str) -> str | None:
 def catalog_matches(store: str, query: str) -> list[tuple[str, float, str, bool]]:
     """Reference mock matching: normalized substring (mock_scraper.py:156-172)."""
     nq = _norm(query)
+    cap = MAX_RESULTS.get(store, 50)
     out = []
-    for name, base, specs in CATALOG:
-        if nq in _norm(name):
+    for name, norm_name, base, specs in _norm_catalog():
+        if nq in norm_name:
             out.append(
                 (name, store_price(store, name, base), specs, store_in_stock(store, name))
             )
-    return out[: MAX_RESULTS.get(store, 50)]
+            if len(out) >= cap:
+                break
+    return out
 
 
 def _pid(store: str, name: str) -> str:
@@ -193,9 +239,7 @@ def _card_page(store: str, items) -> dict:
 
 def _detail_page(store: str, url: str) -> dict:
     pid = parse_qs(urlparse(url).query).get("id", ["?"])[0]
-    match = next(
-        ((n, b, sp) for n, b, sp in CATALOG if _pid(store, n) == pid), None
-    )
+    match = _pid_index(store).get(pid)
     if match is None:
         return {"spans": [("title", f"unknown {pid}", None, 0)], "links": []}
     name, base, specs = match
