@@ -64,14 +64,30 @@ class SnapshotStore:
         tables: dict[str, list[str]] = dict(cur["tables"]) if cur else {}
         token = uuid.uuid4().hex[:8]
 
+        # the per-table writes are independent Spark jobs — run them
+        # concurrently (each wave commits 5 tables; sequential writes made
+        # the commit ~80% of wave wall time). The manifest swap below stays
+        # the single atomic commit point.
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes: list[tuple[str, str, DataFrame, bool]] = []
         for name, df in (tables_replace or {}).items():
-            rel = f"data/{name}/{snap_id}_{token}"
-            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-            tables[name] = [rel]
+            writes.append((name, f"data/{name}/{snap_id}_{token}", df, True))
         for name, df in (tables_append or {}).items():
-            rel = f"data/{name}/{snap_id}_{token}"
+            writes.append((name, f"data/{name}/{snap_id}_{token}", df, False))
+
+        def _write(job):
+            _name, rel, df, _replace = job
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-            tables[name] = list(tables.get(name, [])) + [rel]
+
+        if writes:
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                list(pool.map(_write, writes))  # re-raises worker errors
+        for name, rel, _df, replace in writes:
+            if replace:
+                tables[name] = [rel]
+            else:
+                tables[name] = list(tables.get(name, [])) + [rel]
 
         manifest["snapshots"].append(
             {
