@@ -184,6 +184,15 @@ class QueryCache:
     def key_col(query_col):
         return F.md5(F.lower(query_col))
 
+    def stats(self, now) -> dict:
+        """A5 (cache.py:80-87): live item count + config knobs."""
+        live = self._table().filter(F.col("expires_at") > F.lit(now)).count()
+        return {
+            "items": live,
+            "max_size": self.max_size,
+            "ttl_minutes": self.ttl_minutes,
+        }
+
     def get(self, query: str, now) -> str | None:
         rows = (
             self._table()

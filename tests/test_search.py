@@ -199,6 +199,24 @@ def test_query_cache(spark, tmp_path):
     assert qc.get("c", t0 + datetime.timedelta(minutes=3)) == "3"
 
 
+def test_cache_stats(spark, tmp_path):
+    import datetime
+
+    from price_crawler_spark.operators.search import QueryCache
+    from price_crawler_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "cache_stats"))
+    cache = QueryCache(spark, store, ttl_minutes=30, max_size=100)
+    now = datetime.datetime(2024, 1, 1, 12, 0)
+    cache.set("q1", "payload1", now)
+    cache.set("q2", "payload2", now)
+    s = cache.stats(now)
+    assert s == {"items": 2, "max_size": 100, "ttl_minutes": 30}
+    # everything expired an hour later
+    later = now + datetime.timedelta(hours=1)
+    assert cache.stats(later)["items"] == 0
+
+
 def test_export_csv(spark, products, tmp_path):
     from price_crawler_spark.operators.search import export_csv
 
