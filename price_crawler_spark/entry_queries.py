@@ -303,8 +303,8 @@ def q_sort_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "filter_stats",
-    """SELECT count(*) AS before_n,
-       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS after_n,
+    """SELECT CAST(count(*) AS BIGINT) AS before_n,
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS after_n,
        format('{:.1f}', 100.0 * (1 - sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::DOUBLE / count(*))) || '%' AS filter_rate
 FROM lineitem""",
 )

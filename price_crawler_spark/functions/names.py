@@ -113,6 +113,32 @@ def normalize_search_term(col: Column | str) -> Column:
     return collapse_spaces(c)
 
 
+# F13 — sapphire name unescape (sapphire.py:211): script-mined names carry
+# JS escapes (``™`` → ™, then stray backslashes dropped) and the common
+# HTML entities (``&trade;`` → ™ et al.). Literal replace chain — one
+# codegen'd expression, no per-row Python.
+_ENTITY_REPLACEMENTS = [
+    ("\\u2122", "™"),
+    ("\\", ""),
+    ("&trade;", "™"),
+    ("&reg;", "®"),
+    ("&copy;", "©"),
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),  # last, so '&amp;trade;' doesn't double-decode
+]
+
+
+def unescape_entities(col: Column | str) -> Column:
+    c = _col(col)
+    for old, new in _ENTITY_REPLACEMENTS:
+        c = F.replace(c, F.lit(old), F.lit(new))
+    return c
+
+
 # momo cleaner (momo.py:256-268): strip 【】[]★☆ and trailing 限時特價...
 def momo_clean_name(col: Column | str) -> Column:
     c = F.regexp_replace(_col(col), r"[【】\[\]★☆]", "")

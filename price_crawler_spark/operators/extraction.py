@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from price_crawler_spark.functions.names import collapse_spaces, coolpc_clean_name
+from price_crawler_spark.functions.names import (
+    collapse_spaces,
+    coolpc_clean_name,
+    unescape_entities,
+)
 from price_crawler_spark.functions.prices import extract_price
 from price_crawler_spark.operators import predicates as P
 
@@ -108,14 +112,31 @@ def card_products(docs: DataFrame) -> DataFrame:
         _of("link", "media_ref").alias("url"),
         _of("image", "media_ref").alias("image_url"),
         _of("stock", "text").alias("stock_text"),
+        _of("button", "text").alias("button_text"),
         F.min(F.when(F.col("kind") == "title", F.col("offset"))).alias("item_offset"),
     )
 
     name = collapse_spaces(F.col("name_raw"))
     base_stock = P.is_in_stock(F.col("stock_text"))
-    in_stock = F.when(
-        F.col("store") == "dtsource", base_stock & P.dtsource_in_stock(name)
-    ).otherwise(base_stock)
+    # D6: sapphire judges the whole card element's text (name + stock +
+    # button) with its own in/out lists and a price-presence fallback
+    # (sapphire.py:529-563) — not the generic D1 list.
+    sapphire_element = F.concat_ws(
+        " ", F.col("name_raw"), F.col("stock_text"), F.col("button_text")
+    )
+    in_stock = (
+        F.when(F.col("store") == "dtsource", base_stock & P.dtsource_in_stock(name))
+        # D3: pchome ANDs the buy-button state in (pchome.py:166-189)
+        .when(
+            F.col("store") == "pchome",
+            base_stock & P.buy_button_in_stock(F.col("button_text")),
+        )
+        .when(
+            F.col("store") == "sapphire",
+            P.sapphire_in_stock(sapphire_element, F.col("price_text")),
+        )
+        .otherwise(base_stock)
+    )
     is_bundle = (
         F.when(F.col("store") == "pchome", P.pchome_is_bundle(name))
         .when(F.col("store") == "autobuy", P.autobuy_is_bundle(name))
@@ -141,9 +162,15 @@ SINYA_ITEM_SCHEMA = (
 )
 
 
-def sinya_products(docs: DataFrame) -> DataFrame:
-    """P5 + D4: ``const results = [...]`` JSON; stock 3-state collapsed to
-    in_stock only for the '有庫存' state (sinya.py:219-242, 389-391)."""
+def sinya_products(docs: DataFrame, with_state: bool = False) -> DataFrame:
+    """P5 + D4 + D11: ``const results = [...]`` JSON; stock 3-state collapsed
+    to in_stock only for the '有庫存' state (sinya.py:219-242, 389-391);
+    sinya's OWN bundle detector (sinya.py:332-385).
+
+    ``with_state=True`` (used by :func:`extract_products`) keeps the raw
+    ``stock_state`` column so the detail-page escalation (sinya.py:244-301:
+    需確認庫存 rows re-checked on their detail page, conservative default
+    缺貨) can be applied after the detail join."""
     s = _spans(docs.filter(F.col("store") == "sinya")).filter(
         (F.col("kind") == "json") & F.col("text").contains("const results")
     )
@@ -154,27 +181,25 @@ def sinya_products(docs: DataFrame) -> DataFrame:
         "seq_key",
         F.posexplode(F.from_json(payload, SINYA_ITEM_SCHEMA)).alias("pos", "p"),
     )
+    state = P.sinya_stock_state(
+        F.col("p.stock"),
+        F.col("p.display_price_status"),
+        F.col("p.prod_title"),
+    )
     out = (
         items.withColumn("product_name", collapse_spaces(F.col("p.prod_title")))
         .withColumn("price", F.col("p.new_price").cast("double"))
         .withColumn("url", F.col("p.href"))
         .withColumn("image_url", F.col("p.image"))
-        .withColumn(
-            "in_stock",
-            P.sinya_in_stock(
-                F.col("p.stock"),
-                F.col("p.display_price_status"),
-                F.col("p.prod_title"),
-            ),
-        )
+        .withColumn("stock_state", state)
+        .withColumn("in_stock", F.col("stock_state") == "有庫存")
         .withColumn("currency", F.lit("TWD"))
         .withColumn("specifications", F.col("p.prod_subtitle"))
-        # D11 shares the combo-keyword core with D9 (sinya.py:332-385 uses a
-        # 30-keyword subset of the same list).
-        .withColumn("is_bundle", P.pchome_is_bundle("product_name"))
+        .withColumn("is_bundle", P.sinya_is_bundle("product_name"))
         .withColumn("seq", _seq(F.col("seq_key"), F.col("pos")))
     )
-    return out.select(*PRODUCT_COLS)
+    cols = PRODUCT_COLS + (["stock_state"] if with_state else [])
+    return out.select(*cols)
 
 
 SUNFAR_SCHEMA = (
@@ -286,22 +311,26 @@ def sapphire_pixel_products(docs: DataFrame) -> DataFrame:
 
 def sapphire_enriched_products(docs: DataFrame) -> DataFrame:
     """P12 (sapphire.py:194-239): pixel products get real names from the
-    page's title spans by POSITION — i-th pixel triple ↔ i-th title — via a
-    row_number-aligned left join; missing names keep the placeholder."""
+    page's title spans by POSITION — i-th pixel triple ↔ i-th title WITHIN
+    the same page — via row_number windows partitioned by doc_id (alignment
+    must never leak across documents: the reference matches inside one page)
+    and a (doc_id, position) equi-join; missing names keep the placeholder.
+    Mined names pass the F13 entity unescape (sapphire.py:211)."""
     pixel = sapphire_pixel_products(docs)
-    w_p = Window.partitionBy("store").orderBy("seq")
+    w_p = Window.partitionBy("doc_id").orderBy("seq")
     pixel = pixel.withColumn("_pos", F.row_number().over(w_p))
 
     titles = _spans(docs.filter(F.col("store") == "sapphire")).filter(
         F.col("kind") == "title"
     )
-    w_t = Window.partitionBy("store").orderBy("seq_key", "offset")
+    w_t = Window.partitionBy("doc_id").orderBy("offset")
     names = titles.select(
-        collapse_spaces(F.col("text")).alias("real_name"),
+        "doc_id",
+        unescape_entities(collapse_spaces(F.col("text"))).alias("real_name"),
         F.row_number().over(w_t).alias("_pos"),
     )
     return (
-        pixel.join(names, "_pos", "left")
+        pixel.join(names, ["doc_id", "_pos"], "left")
         .withColumn(
             "product_name", F.coalesce("real_name", "product_name")
         )
@@ -321,12 +350,11 @@ def sapphire_rank_unpriced(products: DataFrame, cap: int = 10) -> DataFrame:
     unpriced = (
         products.filter(F.col("price").isNull() | (F.col("price") <= 0))
         .filter(concrete & ~generic)
-    )
-    w = Window.orderBy("seq")
-    unpriced = (
-        unpriced.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= cap)
-        .drop("_rn")
+        # top-cap via orderBy().limit() — plans as TakeOrderedAndProject
+        # (per-partition top-N + driver merge), never a single-partition
+        # global window sort.
+        .orderBy("seq")
+        .limit(cap)
     )
     return priced.unionByName(unpriced).orderBy(
         F.desc(F.col("price").isNotNull() & (F.col("price") > 0)), F.asc("seq")
@@ -444,9 +472,13 @@ def truncate_description(col: F.Column, n: int = 500) -> F.Column:
 
 
 def detail_enrichment(docs: DataFrame) -> DataFrame:
-    """P19/P20 + S4: detail pages (second-hop fetches, no price span) keyed
-    by their URL → (url, detail_specs, detail_in_stock) for a left join
-    onto the products view."""
+    """P19/P20 + S4 + D8: detail pages (second-hop fetches, no price span)
+    keyed by their URL → (url, detail_specs, detail_in_stock,
+    detail_bundle_only) for a left join onto the products view.
+
+    ``detail_bundle_only`` scans EVERY span's text with the dtsource
+    bundle-only markers (the reference checks the whole detail HTML,
+    dtsource.py:75-123)."""
     is_detail = ~F.exists(
         "spans", lambda s: s.getField("kind") == F.lit("price")
     ) & F.exists("spans", lambda s: s.getField("kind") == F.lit("spec"))
@@ -458,28 +490,65 @@ def detail_enrichment(docs: DataFrame) -> DataFrame:
         F.max(
             F.when(F.col("kind") == "stock", P.is_in_stock(F.col("text")))
         ).alias("detail_in_stock"),
+        F.coalesce(
+            F.bool_or(P.dtsource_bundle_only(F.col("text"))), F.lit(False)
+        ).alias("detail_bundle_only"),
     )
+
+
+def resolve_stock(
+    stock_state: F.Column, in_stock: F.Column, detail_in_stock: F.Column
+) -> F.Column:
+    """Detail-page stock escalation (sinya.py:244-301): only 需確認庫存 rows
+    consult the detail verdict, with the reference's conservative default —
+    no detail page (or an unreadable one) means 缺貨 (sinya.py:294-301).
+    Every other row keeps its search-page verdict (the reference never
+    overrides an explicit search-page state from the detail page)."""
+    return F.when(
+        stock_state == "需確認庫存", F.coalesce(detail_in_stock, F.lit(False))
+    ).otherwise(in_stock)
 
 
 def extract_products(docs: DataFrame, enrich_details: bool = True) -> DataFrame:
     """Unified products view over all store archetypes (J0: stores are data,
     not code paths — one DataFrame with a ``store`` column). Detail-page
-    documents enrich specifications via a url equi-join (broadcast-sized in
-    practice: one row per detail page fetched this run)."""
+    documents enrich the parent row via a url equi-join (broadcast-sized in
+    practice: one row per detail page fetched this run):
+
+      * specifications — coalesce with the detail spec span (sunfar.py:239-282)
+      * in_stock       — sinya 需確認庫存 escalation (:func:`resolve_stock`)
+      * D8 drop        — dtsource rows whose detail page (or name) carries a
+                         bundle-only marker are removed entirely
+                         (dtsource.py:150-153)
+    """
     base = (
         coolpc_products(docs)
         .unionByName(card_products(docs))
-        .unionByName(sinya_products(docs))
-        .unionByName(sunfar_products(docs))
+        .unionByName(sinya_products(docs, with_state=True), allowMissingColumns=True)
+        .unionByName(sunfar_products(docs), allowMissingColumns=True)
     )
     if not enrich_details:
-        return base
+        return base.select(*PRODUCT_COLS)
     det = detail_enrichment(docs)
-    return (
+    out = (
         base.join(det, "url", "left")
         .withColumn(
             "specifications", F.coalesce("specifications", "detail_specs")
         )
-        .drop("detail_specs", "detail_in_stock")
-        .select(*PRODUCT_COLS)
+        .withColumn(
+            "in_stock",
+            resolve_stock(
+                F.col("stock_state"), F.col("in_stock"), F.col("detail_in_stock")
+            ),
+        )
+        .filter(
+            ~(
+                (F.col("store") == "dtsource")
+                & (
+                    F.coalesce(F.col("detail_bundle_only"), F.lit(False))
+                    | P.dtsource_bundle_only(F.col("product_name"))
+                )
+            )
+        )
     )
+    return out.select(*PRODUCT_COLS)

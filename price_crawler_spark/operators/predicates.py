@@ -59,6 +59,96 @@ def dtsource_in_stock(name: Column | str) -> Column:
     )
 
 
+# D8 — DTSource bundle-only (合購限定) detection (dtsource.py:75-123): the
+# reference fetches each product's DETAIL page and drops the product entirely
+# (dtsource.py:150-153) when the page or the name carries a bundle-only
+# marker. Keyword list + regex patterns are data parity.
+DTSOURCE_BUNDLE_ONLY_KEYWORDS = [
+    "合購價", "限搭組裝機出貨", "需限定規格", "限搭組裝機", "不單獨販售",
+    "組裝機專用", "搭機價", "組合價", "組裝價", "限組整機", "限組裝機",
+    "整機專用",
+]
+DTSOURCE_BUNDLE_ONLY_RE = (
+    r"(?i)合購價.*?限搭組裝機|限搭.*?出貨|需.*?限定規格|不.*?單獨.*?販售"
+    r"|組裝價.*?限組整機|限組.*?整機|組裝價.*?\(.*?限.*?\)|限.*?組裝機.*?出貨"
+)
+
+
+def dtsource_bundle_only(text: Column | str) -> Column:
+    """True when detail-page text (or the product name — the reference checks
+    both, dtsource.py:100-103) marks the product as bundle-only."""
+    c = _col(text)
+    return F.when(c.isNull(), F.lit(False)).otherwise(
+        _contains_any(c, DTSOURCE_BUNDLE_ONLY_KEYWORDS, lowercase=False)
+        | c.rlike(DTSOURCE_BUNDLE_ONLY_RE)
+    )
+
+
+# D3 — buy-button stock check (pchome.py:166-189; momo.py:225-254 adds
+# 無法購買): a buy/cart button whose text signals restock, or that is
+# disabled, overrides the text heuristic to out-of-stock. No button found
+# (null) → no evidence → leave the text verdict standing.
+PCHOME_BUTTON_OOS_RE = r"缺貨|補貨|售完|暫停"
+MOMO_BUTTON_OOS_RE = r"缺貨|補貨|售完|暫停|無法購買"
+
+
+def buy_button_in_stock(button_text: Column | str, oos_re: str = PCHOME_BUTTON_OOS_RE) -> Column:
+    c = _col(button_text)
+    return F.when(c.isNull(), F.lit(True)).otherwise(
+        ~c.rlike(oos_re) & ~F.lower(c).contains("disabled")
+    )
+
+
+# D6 — Sapphire element-level stock (sapphire.py:529-563): OOS indicators
+# first, then in-stock indicators, then price-presence fallback, default
+# 需確認庫存; only 有庫存 maps to in_stock=True.
+SAPPHIRE_OOS_INDICATORS = [
+    "缺貨", "售完", "暫停供應", "停產", "預購", "補貨中",
+    "out of stock", "sold out", "unavailable", "coming soon",
+]
+SAPPHIRE_IN_STOCK_INDICATORS = [
+    "現貨", "有庫存", "立即購買", "加入購物車", "購買",
+    "in stock", "available", "add to cart", "buy now",
+]
+
+
+def sapphire_stock_state(element_text: Column | str, price_text: Column | str) -> Column:
+    c = _col(element_text)
+    p = _col(price_text)
+    return (
+        F.when(
+            c.isNotNull() & _contains_any(c, SAPPHIRE_OOS_INDICATORS), F.lit("無庫存")
+        )
+        .when(
+            c.isNotNull() & _contains_any(c, SAPPHIRE_IN_STOCK_INDICATORS),
+            F.lit("有庫存"),
+        )
+        .when(p.isNotNull() & p.rlike("[0-9]"), F.lit("有庫存"))
+        .otherwise(F.lit("需確認庫存"))
+    )
+
+
+def sapphire_in_stock(element_text: Column | str, price_text: Column | str) -> Column:
+    return sapphire_stock_state(element_text, price_text) == "有庫存"
+
+
+# D6b — Sapphire standalone status-text parse (sapphire.py:584-596).
+def sapphire_parse_stock_status(status_text: Column | str) -> Column:
+    c = _col(status_text)
+    return (
+        F.when(c.isNull() | (c == ""), F.lit("需確認庫存"))
+        .when(
+            _contains_any(c, ["out", "sold", "unavailable", "缺貨", "售完"]),
+            F.lit("無庫存"),
+        )
+        .when(
+            _contains_any(c, ["in stock", "available", "有庫存", "現貨"]),
+            F.lit("有庫存"),
+        )
+        .otherwise(F.lit("需確認庫存"))
+    )
+
+
 # D7 — CoolPC 專案/bundle detector (coolpc.py:158-171).
 COOLPC_BUNDLE_KEYWORDS = [
     "專案", "需搭配", "cpu合購", "[需搭配", "[專案",
@@ -119,6 +209,53 @@ def autobuy_is_bundle(name: Column | str) -> Column:
         _contains_any(c, PCHOME_BUNDLE_KEYWORDS[:20])  # shared combo terms
         | ((plus_count >= 2) & ~model_plus)
         | ((plus_count == 1) & ~model_plus & _contains_any(c, ["主機板", "機殼", "電源"]))
+    )
+
+
+# D11 — Sinya's own bundle detector (sinya.py:332-385): 30+ explicit
+# indicators, then (only when a plus sign is present) 14 combo regexes and a
+# motherboard-chipset×plus heuristic. Lists/patterns are data parity; note
+# the combo regexes use HALF-width '+' only (as in the reference) while the
+# presence gate accepts either width, and the chipset keywords are matched
+# case-SENSITIVELY (`if keyword in product_name`, sinya.py:381-384).
+SINYA_BUNDLE_INDICATORS = [
+    "【救贖】", "【套裝】", "【組合】", "【搭配】", "【配套】", "【組裝價】",
+    "套裝", "組合", "搭配", "配套", "組裝價", "超值組", "大組包",
+    "救贖", "組裝機", "整機", "主機", "套餐",
+    "經濟組", "標準組", "進階組", "旗艦組",
+    "入門組", "基本組", "完整組", "全配組",
+    "豪華組", "精選組", "專業組", "商務組",
+]
+_SINYA_COMBO_PARTS = [
+    r"[^+]*\+.*(?:電源|PSU|Power)",
+    r"[^+]*\+.*(?:主機板|MB|Motherboard|主板)",
+    r"[^+]*\+.*(?:CPU|處理器)",
+    r"[^+]*\+.*(?:記憶體|RAM|Memory)",
+    r"[^+]*\+.*(?:硬碟|SSD|HDD)",
+    r"[^+]*\+.*(?:螢幕|Monitor|顯示器)",
+    r"(?:電源|PSU|Power).*\+",
+    r"(?:主機板|MB|Motherboard|主板).*\+",
+    r"(?:CPU|處理器).*\+",
+    r"(?:記憶體|RAM|Memory).*\+",
+    r"(?:硬碟|SSD|HDD).*\+",
+    r"(?:螢幕|Monitor|顯示器).*\+",
+    r"\+.*(?:華擎|ASUS|技嘉|微星|MSI|ASRock|GIGABYTE).*(?:X870|B650|Z790|B760|X670|B550|X570|Z690)",
+    r"(?:華擎|ASUS|技嘉|微星|MSI|ASRock|GIGABYTE).*(?:X870|B650|Z790|B760|X670|B550|X570|Z690).*\+",
+]
+SINYA_COMBO_RE = "(?i)" + "|".join(f"(?:{p})" for p in _SINYA_COMBO_PARTS)
+SINYA_MB_CHIPSETS = [
+    "X870E", "X870", "B650", "Z790", "B760", "X670", "B550", "X570",
+    "Z690", "X399", "TRX40",
+]
+
+
+def sinya_is_bundle(name: Column | str) -> Column:
+    c = _col(name)
+    has_plus = c.contains("+") | c.contains("＋")
+    return (
+        _contains_any(c, SINYA_BUNDLE_INDICATORS)
+        | (has_plus & c.rlike(SINYA_COMBO_RE))
+        | (has_plus & _contains_any(c, SINYA_MB_CHIPSETS, lowercase=False))
     )
 
 

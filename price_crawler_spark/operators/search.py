@@ -121,10 +121,16 @@ def filter_stats(before: DataFrame, after: DataFrame) -> dict:
 # ---- pagination / top-k (O3-O4) -----------------------------------------------
 
 def paginate(df: DataFrame, page: int, per_page: int, order_cols=("seq",)) -> DataFrame:
-    """O4 (streamlit_app.py:269-310): window row_number slice — works at any
-    depth unlike offset().limit() on re-sorted data."""
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    """O4 (streamlit_app.py:269-310). Page 1 (by far the hottest request)
+    plans as TakeOrderedAndProject via orderBy().limit() — no global window.
+    Deeper pages keep the row_number slice, which single-partitions the
+    input: acceptable ONLY because paginate is a UI-tail operator over an
+    already-filtered result set (bounded-input contract); never reuse it on
+    an unbounded table."""
     start = (page - 1) * per_page
+    if start == 0:
+        return df.orderBy(*[F.col(c) for c in order_cols]).limit(per_page)
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") > start) & (F.col("_rn") <= start + per_page))

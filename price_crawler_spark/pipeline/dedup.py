@@ -446,11 +446,12 @@ def blocked_jaccard_pairs(
             F.round(F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")), 6).alias("jaccard"),
         )
     )
-    w = Window.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= top_n)
-        .drop("_rn")
+    # Global top-N via orderBy().limit(): Spark plans TakeOrderedAndProject
+    # (per-partition heap top-N + driver merge). The candidate-pair set is
+    # unbounded at corpus scale, so a single-partition row_number window here
+    # would be a scale-killer; this shape never shuffles-to-one.
+    return pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")).limit(
+        top_n
     )
 
 

@@ -148,6 +148,20 @@ def image_url(store: str, name: str) -> str:
     return f"https://img.{STORE_HOST[store]}/i/{_pid(store, name)}.jpg"
 
 
+def sinya_stock_known(name: str) -> bool:
+    """~1/3 of sinya search results omit the ``stock`` field → the D4 state
+    machine yields 需確認庫存 and the engine must escalate to the detail
+    page (sinya.py:244-301), defaulting to 缺貨 when it can't."""
+    return _h(f"sinya|{name}|stockknown") % 3 != 0
+
+
+def dtsource_bundle_only_product(name: str) -> bool:
+    """~1/7 of dtsource products are 合購限定 (bundle-only): their detail
+    page carries the marker and the reference drops them entirely
+    (dtsource.py:75-123, 150-153)."""
+    return _h(f"dtsource|{name}|bundle_only") % 7 == 0
+
+
 def fetch_fails(url: str, attempts: int) -> bool:
     """Deterministic transient failure: ~1/11 URLs time out on their first
     attempt and succeed on retry (reference retry loop base_scraper.py:60-95,
@@ -189,7 +203,8 @@ def _json_page(store: str, items) -> dict:
                 "new_price": str(int(price)),
                 "href": detail_url(store, name),
                 "image": image_url(store, name),
-                "stock": 1 if in_stock else 0,
+                # stock field present only when the search page knows it
+                **({"stock": 1 if in_stock else 0} if sinya_stock_known(name) else {}),
             }
             for name, price, _s, in_stock in items
         ]
@@ -249,6 +264,8 @@ def _detail_page(store: str, url: str) -> dict:
         ("image", None, image_url(store, name), 2),
         ("stock", IN_STOCK_TEXT if store_in_stock(store, name) else OUT_OF_STOCK_TEXT, None, 3),
     ]
+    if store == "dtsource" and dtsource_bundle_only_product(name):
+        spans.append(("note", "組裝價 限搭組裝機出貨 不單獨販售", None, 4))
     return {"spans": spans, "links": []}
 
 

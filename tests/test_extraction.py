@@ -63,12 +63,19 @@ def test_card_extraction_pchome(spark):
 def test_sinya_json_extraction(spark):
     url = "https://www.sinya.com.tw/search/0?keyword=RX+9070"
     df = _docs_df(spark, "sinya", url)
-    rows = sinya_products(df).orderBy("seq").collect()
+    rows = sinya_products(df, with_state=True).orderBy("seq").collect()
     expected = syn.catalog_matches("sinya", "RX 9070")
     assert [r["product_name"] for r in rows] == [e[0] for e in expected]
     for r, (name, price, _s, in_stock) in zip(rows, expected):
         assert r["price"] == float(int(price))
-        assert r["in_stock"] == in_stock
+        if syn.sinya_stock_known(name):
+            assert r["in_stock"] == in_stock
+            assert r["stock_state"] == ("有庫存" if in_stock else "缺貨")
+        else:
+            # search page alone can't decide — D4 default state, not in stock
+            # until the detail-page escalation (S4) resolves it
+            assert r["stock_state"] == "需確認庫存"
+            assert r["in_stock"] is False
 
 
 def test_sunfar_json_extraction_and_dedup(spark):
@@ -304,6 +311,251 @@ def test_detail_pages_enrich_not_duplicate(spark):
     assert len(out) == 1
     assert out[0].price == 44180.0
     assert out[0].specifications == "24GB GDDR6X, 2520MHz"
+
+
+def test_dtsource_bundle_only_drop(spark):
+    """D8 (dtsource.py:75-123, 150-153): a detail page carrying a bundle-only
+    marker removes the parent product entirely; a clean detail page keeps it."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import extract_products
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    def card(name, link, off0):
+        return [
+            ("title", name, None, off0),
+            ("price", "NT$10,000", None, off0 + 1),
+            ("link", None, link, off0 + 2),
+            ("stock", "現貨供應", None, off0 + 3),
+        ]
+
+    d1 = "https://www.mypc.com.tw/prod?id=keep"
+    d2 = "https://www.mypc.com.tw/prod?id=drop"
+    search_spans = card("RTX 4090 單卡", d1, 0) + card("RTX 4080 好物", d2, 4)
+    detail_keep = [("title", "RTX 4090 單卡", None, 0), ("spec", "24GB", None, 1)]
+    detail_drop = [
+        ("title", "RTX 4080 好物", None, 0),
+        ("spec", "16GB", None, 1),
+        ("note", "組裝價 限搭組裝機出貨 不單獨販售", None, 2),
+    ]
+    docs = spark.createDataFrame(
+        [
+            ("https://search", search_spans, "dtsource", 0, 0),
+            (d1, detail_keep, "dtsource", 1, 1),
+            (d2, detail_drop, "dtsource", 1, 1),
+        ],
+        DOCUMENTS_SCHEMA,
+    ).withColumn("seq_key", F.lit("00000000"))
+    out = extract_products(docs).collect()
+    assert [r.product_name for r in out] == ["RTX 4090 單卡"]
+    assert out[0].specifications == "24GB"
+    # name-level marker alone also drops (reference checks both)
+    search2 = card("RTX 4070 組裝價 限搭組裝機", "https://x/prod?id=z", 0)
+    docs2 = spark.createDataFrame(
+        [("https://search2", search2, "dtsource", 0, 0)], DOCUMENTS_SCHEMA
+    ).withColumn("seq_key", F.lit("00000000"))
+    assert extract_products(docs2).count() == 0
+
+
+def test_detail_stock_escalation_flips_sinya(spark):
+    """S4/D4: a sinya row in 需確認庫存 takes the detail page's verdict;
+    without a fetched detail page it defaults to 缺貨 (sinya.py:294-301)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import extract_products
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    d_in = "https://www.sinya.com.tw/prod?id=a"
+    d_missing = "https://www.sinya.com.tw/prod?id=b"
+    payload = json.dumps(
+        [
+            {"prod_title": "RTX 4090 未知A", "new_price": "1000", "href": d_in},
+            {"prod_title": "RTX 4090 未知B", "new_price": "2000", "href": d_missing},
+        ],
+        ensure_ascii=False,
+    )
+    search_spans = [("json", f"const results = {payload};", None, 0)]
+    detail_spans = [
+        ("title", "RTX 4090 未知A", None, 0),
+        ("spec", "24GB", None, 1),
+        ("stock", "現貨供應", None, 2),
+    ]
+    docs = spark.createDataFrame(
+        [
+            ("https://search", search_spans, "sinya", 0, 0),
+            (d_in, detail_spans, "sinya", 1, 1),
+        ],
+        DOCUMENTS_SCHEMA,
+    ).withColumn("seq_key", F.lit("00000000"))
+    rows = {r.product_name: r for r in extract_products(docs).collect()}
+    assert rows["RTX 4090 未知A"].in_stock is True  # detail page flipped it
+    assert rows["RTX 4090 未知B"].in_stock is False  # conservative default
+
+
+def test_buy_button_stock(spark):
+    """D3 (pchome.py:166-189): a restock/disabled buy button overrides an
+    otherwise in-stock card; a healthy button leaves it alone."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import card_products
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    def card(name, button, off0):
+        return [
+            ("title", name, None, off0),
+            ("price", "NT$9,999", None, off0 + 1),
+            ("stock", "現貨供應", None, off0 + 2),
+            ("button", button, None, off0 + 3),
+        ]
+
+    spans = (
+        card("A 正常", "加入購物車", 0)
+        + card("B 補貨", "補貨中", 4)
+        + card("C 禁用", "加入購物車 disabled", 8)
+    )
+    docs = spark.createDataFrame(
+        [("https://search", spans, "pchome", 0, 0)], DOCUMENTS_SCHEMA
+    ).withColumn("seq_key", F.lit("00000000"))
+    got = {r.product_name: r.in_stock for r in card_products(docs).collect()}
+    assert got == {"A 正常": True, "B 補貨": False, "C 禁用": False}
+
+
+def test_sapphire_stock_state(spark):
+    """D6 truth table (sapphire.py:529-563 + 584-596)."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.predicates import (
+        sapphire_parse_stock_status,
+        sapphire_stock_state,
+    )
+
+    rows = [
+        # (element_text, price_text, expected_state)
+        ("SAPPHIRE NITRO 補貨中", "NT$100", "無庫存"),   # OOS wins over price
+        ("SAPPHIRE 加入購物車", None, "有庫存"),
+        ("nothing decisive", "NT$23,000", "有庫存"),      # price fallback
+        ("nothing decisive", "來電詢問", "需確認庫存"),   # no digit in price
+        ("Coming Soon", None, "無庫存"),
+    ]
+    df = spark.createDataFrame(rows, "t string, p string, expected string")
+    for r in df.select(
+        "expected", sapphire_stock_state(F.col("t"), F.col("p")).alias("got")
+    ).collect():
+        assert r.got == r.expected, (r.got, r.expected)
+
+    df2 = spark.createDataFrame(
+        [("Sold Out", "無庫存"), ("In Stock!", "有庫存"), ("", "需確認庫存"),
+         ("現貨", "有庫存"), ("詳洽門市", "需確認庫存")],
+        "t string, expected string",
+    )
+    for r in df2.select(
+        "expected", sapphire_parse_stock_status(F.col("t")).alias("got")
+    ).collect():
+        assert r.got == r.expected, (r.got, r.expected)
+
+
+def test_sinya_bundle_detector(spark):
+    """D11 truth table (sinya.py:332-385): sinya's own indicator list, combo
+    regexes gated on a plus sign, chipset×plus heuristic."""
+    assert _flags(
+        spark,
+        P.sinya_is_bundle,
+        [
+            "【救贖】RTX 4090 電競組",      # explicit indicator
+            "RTX 4090 + 850W 電源",        # combo pattern: product+電源
+            "RX 9070 XT + 華擎 B650M",     # chipset + plus
+            "SAPPHIRE NITRO+ RX 9070 XT",  # plus but no combo/chipset → not bundle
+            "RTX 4090 24GB 單卡",          # nothing
+            "豪華組 i9 主機",               # two indicators
+        ],
+    ) == [True, True, True, False, False, True]
+
+
+def test_unescape_entities(spark):
+    """F13 (sapphire.py:211): JS \\u2122 + stray backslashes + HTML entities."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.functions.names import unescape_entities
+
+    df = spark.createDataFrame(
+        [
+            ("SAPPHIRE NITRO+\\u2122 RX", "SAPPHIRE NITRO+™ RX"),
+            ("AMD Radeon&trade; RX 9070", "AMD Radeon™ RX 9070"),
+            ("A &amp; B &lt;OC&gt;", "A & B <OC>"),
+            ("plain name", "plain name"),
+        ],
+        "raw string, expected string",
+    )
+    for r in df.select(
+        "expected", unescape_entities(F.col("raw")).alias("got")
+    ).collect():
+        assert r.got == r.expected, (r.got, r.expected)
+
+
+def test_sapphire_alignment_is_per_document(spark):
+    """P12 regression: two sapphire pages whose title counts differ must not
+    shift names across documents — alignment is within one page only."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import sapphire_enriched_products
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    # page 1: TWO pixel triples but only ONE title
+    p1 = (
+        'x, {"id":1,"price":10.0,"quantity":1}, '
+        '{"id":2,"price":20.0,"quantity":1}'
+    )
+    # page 2: one triple, one title
+    p2 = 'x, {"id":3,"price":30.0,"quantity":1}'
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("title", "P1 Title", None, 0), ("pixel", p1, None, 1)],
+             "sapphire", 0, 0),
+            ("d2", [("title", "P2 Title", None, 0), ("pixel", p2, None, 1)],
+             "sapphire", 0, 0),
+        ],
+        DOCUMENTS_SCHEMA,
+    ).withColumn("seq_key", F.col("doc_id"))
+    out = sapphire_enriched_products(docs).orderBy("seq").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.product_name)
+    assert by_doc["d1"] == ["P1 Title", "藍寶石產品 #2"]  # no leak from d2
+    assert by_doc["d2"] == ["P2 Title"]
+
+
+def test_crawl_detail_enrichment_end_to_end(spark, tmp_path):
+    """Wave-level check (VERDICT r1 item 2): after a full crawl, every sinya
+    product's stock equals the catalog truth (the 需確認庫存 third was
+    flipped by its fetched detail page), and dtsource bundle-only products
+    are gone from the products view."""
+    from price_crawler_spark.frontier.wave import CrawlRun
+    from price_crawler_spark.operators.extraction import extract_products
+
+    run = CrawlRun(spark, str(tmp_path), ["RTX"], wave_seconds=60.0)
+    run.run(max_waves=6)
+    products = extract_products(run.documents())
+
+    sinya = {
+        r.product_name: r.in_stock
+        for r in products.filter("store = 'sinya'").collect()
+    }
+    expected = syn.catalog_matches("sinya", "RTX")
+    assert sinya == {name: in_stock for name, _p, _s, in_stock in expected}
+    # at least one row was actually escalated (unknown on the search page)
+    assert any(not syn.sinya_stock_known(n) for n in sinya)
+
+    dt_names = {
+        r.product_name
+        for r in products.filter("store = 'dtsource'").collect()
+    }
+    dt_expected = syn.catalog_matches("dtsource", "RTX")
+    kept = {n for n, _p, _s, _i in dt_expected if not syn.dtsource_bundle_only_product(n)}
+    dropped = {n for n, _p, _s, _i in dt_expected if syn.dtsource_bundle_only_product(n)}
+    assert dropped, "fixture should contain at least one bundle-only product"
+    assert dt_names == kept
 
 
 def test_spec_kv_operators(spark):
