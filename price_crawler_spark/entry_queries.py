@@ -585,7 +585,306 @@ def q_bundle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- URL functions (F11, F12, canonicalizer) -------------------------------
+# ---- detail enrichment + store-faithful predicates (S4/D8, D3, D6, D11) ----
+
+_STATE_SQL = "(['有庫存','缺貨','需確認庫存'])[(p_partkey % 3 + 1)::INT]"
+_DETAIL_SQL = (
+    "(CASE WHEN p_partkey % 4 = 0 THEN TRUE WHEN p_partkey % 4 = 1 THEN FALSE "
+    "WHEN p_partkey % 4 = 3 THEN TRUE END)"
+)
+
+
+@_register(
+    "detail_stock_enrich",
+    f"""WITH s AS (SELECT p_partkey, {_STATE_SQL} AS stock_state,
+       {_DETAIL_SQL} AS d FROM part)
+SELECT p_partkey, stock_state,
+       (CASE WHEN stock_state = '需確認庫存' THEN coalesce(d, FALSE)
+             ELSE stock_state = '有庫存' END) AS in_stock
+FROM s""",
+)
+def q_detail_stock_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 escalation (sinya.py:244-301): 需確認庫存 rows take the detail
+    page's verdict, defaulting to 缺貨 (False) without one; explicit states
+    keep the search-page verdict."""
+    from price_crawler_spark.operators.extraction import resolve_stock
+
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    state = F.element_at(
+        F.array(F.lit("有庫存"), F.lit("缺貨"), F.lit("需確認庫存")),
+        (pk % 3 + 1).cast("int"),
+    )
+    detail = (
+        F.when(pk % 4 == 0, F.lit(True))
+        .when(pk % 4 == 1, F.lit(False))
+        .when(pk % 4 == 3, F.lit(True))
+    )
+    return part.select(
+        "p_partkey",
+        state.alias("stock_state"),
+        resolve_stock(state, state == "有庫存", detail).alias("in_stock"),
+    )
+
+
+_BO_SUFFIX_SQL = """(CASE p_partkey % 8
+  WHEN 0 THEN ' 合購價 NT$999' WHEN 1 THEN ' 限搭組裝機出貨'
+  WHEN 2 THEN ' 限搭電源供應器出貨' WHEN 3 THEN ' 此品不可單獨進行販售'
+  WHEN 4 THEN ' 搭機價' ELSE '' END)"""
+
+
+@_register(
+    "dtsource_bundle_only",
+    f"""WITH nm AS (SELECT p_partkey, p_name || {_BO_SUFFIX_SQL} AS text FROM part)
+SELECT p_partkey, text,
+       ({duckdb_contains_any("text", predicates.DTSOURCE_BUNDLE_ONLY_KEYWORDS, lowercase=False)}
+        OR regexp_matches(text, '{predicates.DTSOURCE_BUNDLE_ONLY_RE}')) AS bundle_only
+FROM nm""",
+)
+def q_dtsource_bundle_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 (dtsource.py:75-123): 合購限定 marker detection — keyword list
+    plus the reference's 8 lazy regex patterns (cases 2 and 3 above only
+    match via the regexes, not the keywords)."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    text = F.concat(
+        F.col("p_name"),
+        F.when(pk % 8 == 0, F.lit(" 合購價 NT$999"))
+        .when(pk % 8 == 1, F.lit(" 限搭組裝機出貨"))
+        .when(pk % 8 == 2, F.lit(" 限搭電源供應器出貨"))
+        .when(pk % 8 == 3, F.lit(" 此品不可單獨進行販售"))
+        .when(pk % 8 == 4, F.lit(" 搭機價"))
+        .otherwise(F.lit("")),
+    )
+    return part.select(
+        "p_partkey",
+        text.alias("text"),
+        predicates.dtsource_bundle_only(text).alias("bundle_only"),
+    )
+
+
+_BTN_SQL = """(CASE o_orderkey % 6
+  WHEN 0 THEN '加入購物車' WHEN 1 THEN '補貨中' WHEN 2 THEN '售完'
+  WHEN 3 THEN '暫停販售' WHEN 4 THEN '加入購物車 DISABLED' END)"""
+
+
+@_register(
+    "button_stock",
+    f"""WITH b AS (SELECT o_orderkey, {_BTN_SQL} AS btn FROM orders)
+SELECT o_orderkey, btn,
+       (CASE WHEN btn IS NULL THEN TRUE
+             ELSE NOT regexp_matches(btn, '缺貨|補貨|售完|暫停')
+                  AND NOT contains(lower(btn), 'disabled') END) AS in_stock
+FROM b""",
+)
+def q_button_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (pchome.py:166-189): buy-button text/disabled state; a missing
+    button (null) is no evidence → True."""
+    orders = _read(spark, sf_dir, "orders")
+    o = F.col("o_orderkey")
+    btn = (
+        F.when(o % 6 == 0, F.lit("加入購物車"))
+        .when(o % 6 == 1, F.lit("補貨中"))
+        .when(o % 6 == 2, F.lit("售完"))
+        .when(o % 6 == 3, F.lit("暫停販售"))
+        .when(o % 6 == 4, F.lit("加入購物車 DISABLED"))
+    )
+    return orders.select(
+        "o_orderkey",
+        btn.alias("btn"),
+        predicates.buy_button_in_stock(btn).alias("in_stock"),
+    )
+
+
+_SAPPHIRE_EL_SQL = """(CASE p_partkey % 5
+  WHEN 0 THEN p_name || ' 補貨中' WHEN 1 THEN p_name || ' 加入購物車'
+  WHEN 2 THEN p_name WHEN 3 THEN p_name || ' 現貨'
+  ELSE 'Coming Soon ' || p_name END)"""
+_SAPPHIRE_PRICE_SQL = (
+    "(CASE WHEN p_partkey % 2 = 0 THEN 'NT$ ' || CAST(p_partkey AS VARCHAR) "
+    "ELSE '來電詢問' END)"
+)
+
+
+@_register(
+    "stock_sapphire",
+    f"""WITH s AS (SELECT p_partkey, {_SAPPHIRE_EL_SQL} AS t,
+                 {_SAPPHIRE_PRICE_SQL} AS p FROM part)
+SELECT p_partkey,
+       (CASE WHEN {duckdb_contains_any("t", predicates.SAPPHIRE_OOS_INDICATORS)} THEN '無庫存'
+             WHEN {duckdb_contains_any("t", predicates.SAPPHIRE_IN_STOCK_INDICATORS)} THEN '有庫存'
+             WHEN regexp_matches(p, '[0-9]') THEN '有庫存'
+             ELSE '需確認庫存' END) AS state
+FROM s""",
+)
+def q_stock_sapphire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (sapphire.py:529-563): element-text OOS list → in-stock list →
+    price-presence fallback → 需確認庫存."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    t = (
+        F.when(pk % 5 == 0, F.concat(F.col("p_name"), F.lit(" 補貨中")))
+        .when(pk % 5 == 1, F.concat(F.col("p_name"), F.lit(" 加入購物車")))
+        .when(pk % 5 == 2, F.col("p_name"))
+        .when(pk % 5 == 3, F.concat(F.col("p_name"), F.lit(" 現貨")))
+        .otherwise(F.concat(F.lit("Coming Soon "), F.col("p_name")))
+    )
+    p = F.when(
+        pk % 2 == 0, F.concat(F.lit("NT$ "), pk.cast("string"))
+    ).otherwise(F.lit("來電詢問"))
+    return part.select(
+        "p_partkey", predicates.sapphire_stock_state(t, p).alias("state")
+    )
+
+
+_SINYA_SUFFIX_SQL = """(CASE p_partkey % 7
+  WHEN 0 THEN ' 超值組' WHEN 1 THEN ' + 850W 電源'
+  WHEN 2 THEN ' + ASRock B650 PG' WHEN 3 THEN ' NITRO+'
+  WHEN 4 THEN ' 【救贖】' WHEN 5 THEN ' ＋ 記憶體加購' ELSE '' END)"""
+
+
+def _sinya_bundle_oracle() -> str:
+    kw = duckdb_contains_any("name", predicates.SINYA_BUNDLE_INDICATORS)
+    mb = duckdb_contains_any(
+        "name", predicates.SINYA_MB_CHIPSETS, lowercase=False
+    )
+    return f"""WITH nm AS (SELECT p_partkey, p_name || {_SINYA_SUFFIX_SQL} AS name FROM part)
+SELECT p_partkey, name,
+       ({kw}
+        OR ((contains(name, '+') OR contains(name, '＋'))
+            AND (regexp_matches(name, '{predicates.SINYA_COMBO_RE}') OR {mb}))) AS is_bundle
+FROM nm"""
+
+
+@_register("bundle_detect_sinya", None)  # oracle attached below
+def q_bundle_detect_sinya(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 (sinya.py:332-385): sinya's own indicator list, plus-gated combo
+    regexes (half-width + only, as in the reference), chipset heuristic.
+    Case 5 (full-width ＋ with a combo word AFTER it) exercises the gate
+    firing while every regex misses."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    name = F.concat(
+        F.col("p_name"),
+        F.when(pk % 7 == 0, F.lit(" 超值組"))
+        .when(pk % 7 == 1, F.lit(" + 850W 電源"))
+        .when(pk % 7 == 2, F.lit(" + ASRock B650 PG"))
+        .when(pk % 7 == 3, F.lit(" NITRO+"))
+        .when(pk % 7 == 4, F.lit(" 【救贖】"))
+        .when(pk % 7 == 5, F.lit(" ＋ 記憶體加購"))
+        .otherwise(F.lit("")),
+    )
+    return part.select(
+        "p_partkey",
+        name.alias("name"),
+        predicates.sinya_is_bundle(name).alias("is_bundle"),
+    )
+
+
+ORACLES["bundle_detect_sinya"] = _sinya_bundle_oracle()
+
+
+# ---- sapphire extraction family oracles (P11, P12, P13) --------------------
+
+
+def _pixel_docs(part: DataFrame) -> DataFrame:
+    """part → sapphire documents with one pixel span of two product triples
+    per doc (deterministic ids/prices/quantities)."""
+    pk = F.col("p_partkey")
+    price1 = F.floor(F.col("p_retailprice")).cast("long")
+    price2 = price1 + 7
+    text = F.concat(
+        F.lit('content_ids:[...], {"id":'),
+        (pk * 2).cast("string"),
+        F.lit(',"price":'),
+        price1.cast("string"),
+        F.lit(',"quantity":'),
+        (pk % 4).cast("string"),
+        F.lit('}, {"id":'),
+        (pk * 2 + 1).cast("string"),
+        F.lit(',"price":'),
+        price2.cast("string"),
+        F.lit(',"quantity":'),
+        ((pk + 1) % 4).cast("string"),
+        F.lit("}"),
+    )
+    span = F.struct(
+        F.lit("pixel").alias("kind"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(1).cast("int").alias("offset"),
+    )
+    return part.select(
+        "p_partkey",
+        F.concat(F.lit("doc"), pk.cast("string")).alias("doc_id"),
+        F.array(span).alias("spans"),
+        F.lit("sapphire").alias("store"),
+        F.lpad(F.conv(pk.cast("string"), 10, 16), 8, "0").alias("seq_key"),
+    )
+
+
+_PIXEL_EXPECTED_SQL = """
+WITH ex AS (SELECT p_partkey, floor(p_retailprice)::BIGINT AS p0,
+                   unnest([0, 1]) AS i FROM part)
+SELECT 'doc' || CAST(p_partkey AS VARCHAR) AS doc_id,
+       '藍寶石產品 #' || CAST(p_partkey * 2 + i AS VARCHAR) AS product_name,
+       CAST(CASE WHEN i = 0 THEN p0 ELSE p0 + 7 END AS DOUBLE) AS price,
+       ((CASE WHEN i = 0 THEN p_partkey % 4 ELSE (p_partkey + 1) % 4 END) > 0) AS in_stock
+FROM ex"""
+
+
+@_register("pixel_mining", _PIXEL_EXPECTED_SQL)
+def q_pixel_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 (sapphire.py:146-192): FB-pixel triple regex mining through the
+    real operator; the oracle computes the expected parse directly from the
+    same deterministic inputs."""
+    from price_crawler_spark.operators.extraction import sapphire_pixel_products
+
+    part = _read(spark, sf_dir, "part")
+    return sapphire_pixel_products(_pixel_docs(part)).select(
+        "doc_id", "product_name", "price", "in_stock"
+    )
+
+
+@_register(
+    "pixel_enrich",
+    """WITH ex AS (SELECT p_partkey, unnest([0, 1]) AS i FROM part)
+SELECT 'doc' || CAST(p_partkey AS VARCHAR) AS doc_id,
+       (CASE WHEN i = 0 THEN 'Product ' || CAST(p_partkey AS VARCHAR) || ' A'
+             WHEN p_partkey % 3 <> 0 THEN 'Product ' || CAST(p_partkey AS VARCHAR) || ' B™'
+             ELSE '藍寶石產品 #' || CAST(p_partkey * 2 + 1 AS VARCHAR) END) AS product_name
+FROM ex""",
+)
+def q_pixel_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 (sapphire.py:194-239): per-document positional title↔pixel
+    alignment. Docs with p_partkey%3==0 have ONE title for TWO triples —
+    the second keeps its placeholder and alignment must not leak into the
+    next document. Title B carries an &trade; entity to exercise F13."""
+    from price_crawler_spark.operators.extraction import sapphire_enriched_products
+
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    docs = _pixel_docs(part)
+
+    def title(text: F.Column, off: int) -> F.Column:
+        return F.struct(
+            F.lit("title").alias("kind"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    t_a = title(F.concat(F.lit("Product "), pk.cast("string"), F.lit(" A")), 2)
+    t_b = title(
+        F.concat(F.lit("Product "), pk.cast("string"), F.lit(" B&trade;")), 3
+    )
+    titled = docs.withColumn(
+        "spans",
+        F.when(pk % 3 == 0, F.concat("spans", F.array(t_a))).otherwise(
+            F.concat("spans", F.array(t_a, t_b))
+        ),
+    )
+    return sapphire_enriched_products(titled).select("doc_id", "product_name")
 
 _RAW_URL_SQL = """('HTTP://Shop' || CAST(o_orderkey % 7 AS VARCHAR) || '.Example.COM'
  || (CASE o_orderkey % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END)
@@ -674,6 +973,61 @@ def q_url_absolutize(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = F.lit("https://shop.example.com/cat/page.html")
     return orders.select(
         "o_orderkey", urls.absolutize(href, base).alias("abs_url")
+    )
+
+
+@_register(
+    "generic_json_walk",
+    """WITH ex AS (SELECT p_partkey,
+       (CAST(floor(p_retailprice) AS BIGINT) * 53 + p_partkey) AS big,
+       unnest([0, 1]) AS i FROM part)
+SELECT 'doc' || CAST(p_partkey AS VARCHAR) AS doc_id,
+       (CASE WHEN i = 0 THEN 'P' || CAST(p_partkey AS VARCHAR) || ' NITRO'
+             ELSE 'Q' || CAST(p_partkey AS VARCHAR) END) AS product_name,
+       CAST(CASE WHEN i = 0 THEN big ELSE p_partkey END AS DOUBLE) AS price,
+       (CASE WHEN i = 0 THEN 'https://sapphiretech.cyberbiz.co/p/' || CAST(p_partkey AS VARCHAR)
+             ELSE 'https://x.example.com/p' || CAST(p_partkey AS VARCHAR) END) AS url
+FROM ex""",
+)
+def q_generic_json_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 (sapphire.py:241-268, 302-380): permissive JSON walk through the
+    real operator — item 0 uses (title, current_price 'NT$n', relative link),
+    item 1 uses (product_name, amount, absolute product_url); the candidate
+    array key is 'items'."""
+    from price_crawler_spark.operators.extraction import generic_json_products
+
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    big = _big_col()
+    payload = F.concat(
+        F.lit('{"items": [{"title": "P'),
+        pk.cast("string"),
+        F.lit(' NITRO", "current_price": "NT$'),
+        big.cast("string"),
+        F.lit('", "link": "/p/'),
+        pk.cast("string"),
+        F.lit('"}, {"product_name": "Q'),
+        pk.cast("string"),
+        F.lit('", "amount": "'),
+        pk.cast("string"),
+        F.lit('", "product_url": "https://x.example.com/p'),
+        pk.cast("string"),
+        F.lit('"}]}'),
+    )
+    span = F.struct(
+        F.lit("json").alias("kind"),
+        payload.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    docs = part.select(
+        F.concat(F.lit("doc"), pk.cast("string")).alias("doc_id"),
+        F.array(span).alias("spans"),
+        F.lit("sapphire").alias("store"),
+        F.lpad(F.conv(pk.cast("string"), 10, 16), 8, "0").alias("seq_key"),
+    )
+    return generic_json_products(docs).select(
+        "doc_id", "product_name", "price", "url"
     )
 
 
@@ -997,26 +1351,31 @@ def q_crawl_search_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     search('RTX 4090', sort price asc). Input is the deterministic synthetic
     web (not the sf tables), so this is a rows-only check; ordering parity
     with the pure-Python reference oracle is pytest-gated
-    (tests/test_frontier.py, tests/test_search.py)."""
+    (tests/test_frontier.py, tests/test_search.py).
+
+    The crawl runs to DRAIN under a stable per-(queries,engine-rev) dir: a
+    repeat invocation finds the frontier empty, re-reads the committed
+    snapshot tables from disk, and returns the identical lazy plan — no
+    ``.collect()`` round-trip through the driver."""
+    import hashlib
+    import os
     import tempfile
 
     from price_crawler_spark.frontier.wave import CrawlRun
     from price_crawler_spark.operators.extraction import extract_products
     from price_crawler_spark.operators.search import search
 
-    with tempfile.TemporaryDirectory() as root:
-        run = CrawlRun(spark, root, queries=["RTX 4090"])
-        run.run(max_waves=3)
-        docs = run.documents()
-        products = extract_products(docs)
-        out = search(products, "RTX 4090", sort_by="price", order="asc")
-        out = out.select(
-            "store", "product_name", "price", "in_stock",
-            F.round("similarity_score", 6).alias("similarity_score"),
-        )
-        # materialize before the tmpdir vanishes
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+    queries = ["RTX 4090"]
+    tag = hashlib.md5(("r2|" + "|".join(queries)).encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"pcs_demo_{tag}")
+    run = CrawlRun(spark, root, queries=queries)
+    run.run(max_waves=8)  # drains well before 8; terminal state is stable
+    products = extract_products(run.documents())
+    out = search(products, "RTX 4090", sort_by="price", order="asc")
+    return out.select(
+        "store", "product_name", "price", "in_stock",
+        F.round("similarity_score", 6).alias("similarity_score"),
+    )
 
 
 # ---- multimodal family -----------------------------------------------------
