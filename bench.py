@@ -388,6 +388,10 @@ def main() -> None:
         t0 = time.time()
         _noop(registry[name](spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+        # dedup operators persist() intermediate signature/shingle tables for
+        # their own plan reuse; release them between queries so repeated
+        # invocations don't accumulate executor storage.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

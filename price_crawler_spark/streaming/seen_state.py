@@ -19,11 +19,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -38,9 +40,11 @@ SEEN_OUT_SCHEMA = StructType(
         StructField("canonical_url", StringType(), True),
     ]
 )
-SEEN_STATE_SCHEMA = StructType(
-    [StructField("seen", StringType(), True)]  # csv of hashes; exact set
-)
+# State is the shard's exact seen-hash set as PACKED little-endian int64
+# bytes (8 B/URL — an order of magnitude tighter than the former CSV string,
+# and zero-parse on load via numpy.frombuffer). Bytes are kept sorted so the
+# state blob is deterministic under any batch arrival order.
+SEEN_STATE_SCHEMA = StructType([StructField("seen", BinaryType(), True)])
 
 
 def _dedup_shard(
@@ -52,7 +56,7 @@ def _dedup_shard(
     if state.exists:
         (blob,) = state.get
         if blob:
-            seen = {int(x) for x in blob.split(",")}
+            seen = set(np.frombuffer(bytes(blob), dtype="<i8").tolist())
     out_h: list[int] = []
     out_u: list[str] = []
     for pdf in batches:
@@ -64,7 +68,7 @@ def _dedup_shard(
                 seen.add(h)
                 out_h.append(h)
                 out_u.append(u)
-    state.update((",".join(str(x) for x in sorted(seen)),))
+    state.update((np.asarray(sorted(seen), dtype="<i8").tobytes(),))
     yield pd.DataFrame({"url_hash": out_h, "canonical_url": out_u})
 
 

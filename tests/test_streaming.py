@@ -121,3 +121,55 @@ def test_streaming_first_seen_dedups_across_batches(spark, tmp_stream_dir):
         for r in seen_state.batch_equivalent_first_seen(batch).collect()
     }
     assert got == expected == {(1, "u1"), (2, "u2"), (3, "u3"), (4, "u4")}
+
+
+def test_streaming_first_seen_binary_state_at_scale(spark, tmp_stream_dir):
+    """Batch-equivalence at 10× the small fixture and across 4 micro-batches:
+    the packed-int64 state blob must carry the exact seen set between
+    batches (heavy cross-batch overlap, multiple shards)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("url_hash", LongType(), False),
+            StructField("canonical_url", StringType(), True),
+        ]
+    )
+    waves = []
+    for w in range(4):
+        # 30 urls/wave, stride 17 → heavy overlap between adjacent waves
+        rows = [
+            (1000 + (w * 17 + i) % 60, f"u{1000 + (w * 17 + i) % 60}")
+            for i in range(30)
+        ]
+        waves.append(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp_stream_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp_stream_dir)
+    )
+    out = seen_state.streaming_first_seen(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_scale")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.url_hash, r.canonical_url)
+        for r in spark.table("first_seen_scale").collect()
+    }
+    flat = [r for rows in waves for r in rows]
+    batch = spark.createDataFrame(flat, schema)
+    expected = {
+        (r.url_hash, r.canonical_url)
+        for r in seen_state.batch_equivalent_first_seen(batch).collect()
+    }
+    assert got == expected
+    assert len(got) == 60  # every distinct hash exactly once
