@@ -334,7 +334,11 @@ def hw_ceiling() -> float:
     return rates[32] / (4 * rates[8])
 
 
-def run_scaling() -> None:
+def _scaling_pass() -> dict:
+    """One paired measurement: local[8] leg, local[32] leg (fresh subprocess
+    each, best-of-5 inside), and the pure-CPU hardware-ceiling probe taken
+    in the SAME time window so co-tenant interference hits job and probe
+    alike."""
     out = {}
     for cpus in (8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -347,12 +351,33 @@ def run_scaling() -> None:
         out[cpus] = json.loads(line)
     eff = out[32]["urls_per_sec"] / (4 * out[8]["urls_per_sec"])
     ceiling = hw_ceiling()
-    print(json.dumps({
-        "metric": "frontier canonicalize+dedup+schedule URLs/sec, local[8] vs local[32]",
+    return {
         "local8": out[8], "local32": out[32],
         "scaling_efficiency_Nto4N": round(eff, 3),
         "hw_ceiling_Nto4N": round(ceiling, 3),
         "normalized_efficiency": round(eff / ceiling, 3),
+    }
+
+
+def run_scaling() -> None:
+    """North-rule two-cluster-size evidence. ``SPARK_GRAFT_SCALING_PASSES``
+    (default 3) full paired passes; the headline number is the MEDIAN
+    normalized efficiency across passes — not the best pass — so the claim
+    doesn't rest on one lucky window. Quiesced-box protocol: the 32-core leg
+    needs all cores idle; run with no other Spark/pytest jobs on the box."""
+    import statistics
+
+    n_passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
+    passes = [_scaling_pass() for _ in range(n_passes)]
+    med = statistics.median(p["normalized_efficiency"] for p in passes)
+    med_raw = statistics.median(p["scaling_efficiency_Nto4N"] for p in passes)
+    best = max(passes, key=lambda p: p["normalized_efficiency"])
+    print(json.dumps({
+        "metric": "frontier canonicalize+dedup+schedule URLs/sec, local[8] vs local[32]",
+        "passes": passes,
+        "median_raw_efficiency": round(med_raw, 3),
+        "median_normalized_efficiency": round(med, 3),
+        "best_pass": best,
         "sf": _sf(SF_DIR),
     }))
 

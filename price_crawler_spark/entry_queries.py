@@ -784,6 +784,36 @@ def q_bundle_detect_sinya(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bundle_detect_sinya"] = _sinya_bundle_oracle()
 
 
+def _ua_oracle() -> str:
+    from price_crawler_spark.frontier.fetch import USER_AGENTS
+
+    arr = "[" + ", ".join(f"'{u}'" for u in USER_AGENTS) + "]"
+    return f"""WITH u AS (
+  SELECT o_orderkey,
+         'https://shop.example.com/p/' || CAST(o_orderkey AS VARCHAR) AS url
+  FROM orders)
+SELECT o_orderkey,
+       ({arr})[((('0x' || substr(md5(url), 1, 12))::BIGINT % {len(USER_AGENTS)}) + 1)::INT] AS ua
+FROM u"""
+
+
+@_register("ua_rotation", None)  # oracle attached below
+def q_ua_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (base_scraper.py:32-33, config.py:36-41): deterministic md5-keyed
+    UA pick per URL — the distributed stand-in for random.choice that stays
+    stable under retries/resume."""
+    from price_crawler_spark.frontier.fetch import ua_for_url
+
+    orders = _read(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com/p/"), F.col("o_orderkey").cast("string")
+    )
+    return orders.select("o_orderkey", ua_for_url(url).alias("ua"))
+
+
+ORACLES["ua_rotation"] = _ua_oracle()
+
+
 # ---- sapphire extraction family oracles (P11, P12, P13) --------------------
 
 

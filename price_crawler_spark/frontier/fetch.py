@@ -31,6 +31,30 @@ SPANS_JSON_SCHEMA = (
     "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
 
+# S2 — UA rotation pool, data parity with config.py:36-41.
+USER_AGENTS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0) Gecko/20100101 Firefox/119.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36",
+]
+
+
+def ua_for_url(url) -> F.Column:
+    """S2 (base_scraper.py:32-33): per-request UA pick. The reference uses
+    ``random.choice``; the distributed analogue must be deterministic under
+    retries, resume, and any partitioning, so the pick is md5(url)-keyed —
+    uniform over the pool, stable per URL, and portable (md5 hashes
+    identically in DuckDB for the oracle mirror)."""
+    c = F.col(url) if isinstance(url, str) else url
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long"),
+        F.lit(len(USER_AGENTS)),
+    )
+    return F.element_at(
+        F.array(*[F.lit(u) for u in USER_AGENTS]), (idx + 1).cast("int")
+    )
+
 _EXTRA_FIELDS = [
     T.StructField("ok", T.BooleanType(), False),
     T.StructField("spans_json", T.StringType(), True),
@@ -44,6 +68,7 @@ def fetch_scheduled(sched: DataFrame) -> DataFrame:
     Grouped by ``host_salt`` when present (C6: a mega host's quota-selected
     URLs spread over salt buckets, each bucket one Arrow batch), else by
     true host."""
+    sched = sched.withColumn("ua", ua_for_url("url"))
     group_key = "host_salt" if "host_salt" in sched.columns else "host"
     keep = [c for c in sched.columns if c not in ("crawl_delay", "host_salt")]
     out_schema = T.StructType(
@@ -52,7 +77,9 @@ def fetch_scheduled(sched: DataFrame) -> DataFrame:
 
     def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         # Politeness order within the host (reference fetches sequentially
-        # per host; crawl_delay sleeping happens here in live mode).
+        # per host; crawl_delay sleeping happens here in live mode). In live
+        # mode each request sends its row's ``ua`` header (S2); the synthetic
+        # transport ignores it but the column rides along as lineage.
         pdf = pdf.sort_values(["priority", "seq_key"]).reset_index(drop=True)
         oks, spans_js, links_js = [], [], []
         for url, store, attempts in zip(pdf["url"], pdf["store"], pdf["attempts"]):

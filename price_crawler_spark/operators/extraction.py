@@ -202,6 +202,76 @@ def sinya_products(docs: DataFrame, with_state: bool = False) -> DataFrame:
     return out.select(*cols)
 
 
+def sinya_extract_price_int(price_text: F.Column) -> F.Column:
+    """P7 price rule (sinya.py:203-216): strip everything but digits and
+    commas, drop commas, integer — 0 (not null) when nothing remains."""
+    digits = F.regexp_replace(
+        F.regexp_replace(price_text, r"[^\d,]", ""), ",", ""
+    )
+    return F.coalesce(
+        F.when(digits != "", digits.cast("long")), F.lit(0)
+    )
+
+
+def sinya_html_fallback_products(docs: DataFrame) -> DataFrame:
+    """P7 (sinya.py:138-200): backup HTML card parse, used ONLY for sinya
+    pages whose embedded-JSON parse yielded nothing (no ``const results``
+    span). Name from the title-ish element, price via sinya's integer
+    extraction, url absolutized against the sinya base, availability
+    defaults 有庫存, and rows survive only with a name AND price > 0
+    (sinya.py:181-190)."""
+    has_json = F.exists(
+        "spans",
+        lambda s: (s.getField("kind") == F.lit("json"))
+        & F.coalesce(
+            s.getField("text").contains("const results"), F.lit(False)
+        ),
+    )
+    s = _spans(
+        docs.filter(F.col("store") == "sinya").filter(~has_json)
+    ).filter(F.col("kind").isin("title", "price", "link"))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    s = s.withColumn(
+        "item_idx",
+        F.sum(F.when(F.col("kind") == "title", 1).otherwise(0)).over(w) - 1,
+    ).filter(F.col("item_idx") >= 0)
+
+    def _of(kind: str, col: str):
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    grp = s.groupBy("doc_id", "store", "seq_key", "item_idx").agg(
+        _of("title", "text").alias("name_raw"),
+        _of("price", "text").alias("price_text"),
+        _of("link", "media_ref").alias("href"),
+        F.min(F.when(F.col("kind") == "title", F.col("offset"))).alias("item_offset"),
+    )
+    base = F.lit("https://www.sinya.com.tw")
+    name = collapse_spaces(F.col("name_raw"))
+    price = sinya_extract_price_int(F.col("price_text"))
+    out = (
+        grp.withColumn("product_name", name)
+        .withColumn("price", price.cast("double"))
+        .withColumn(
+            "url",
+            F.when(F.col("href").isNull(), F.lit(""))
+            .when(F.col("href").rlike("^https?://"), F.col("href"))
+            .otherwise(F.concat(base, F.col("href"))),
+        )
+        .withColumn("in_stock", F.lit(True))  # availability default 有庫存
+        .withColumn("currency", F.lit("TWD"))
+        .withColumn("image_url", F.lit(None).cast("string"))
+        .withColumn("specifications", F.lit(None).cast("string"))
+        .withColumn("is_bundle", P.sinya_is_bundle("product_name"))
+        .withColumn("seq", _seq(F.col("seq_key"), F.col("item_offset")))
+        .filter(
+            F.col("product_name").isNotNull()
+            & (F.col("product_name") != "")
+            & (F.col("price") > 0)
+        )
+    )
+    return out.select(*PRODUCT_COLS)
+
+
 SUNFAR_SCHEMA = (
     "struct<ptlist:array<struct<pname:string,prod_price:string,"
     "mem_price1:string,search_price2_da:string,id:string,ps:string,"
@@ -525,6 +595,7 @@ def extract_products(docs: DataFrame, enrich_details: bool = True) -> DataFrame:
         coolpc_products(docs)
         .unionByName(card_products(docs))
         .unionByName(sinya_products(docs, with_state=True), allowMissingColumns=True)
+        .unionByName(sinya_html_fallback_products(docs), allowMissingColumns=True)
         .unionByName(sunfar_products(docs), allowMissingColumns=True)
     )
     if not enrich_details:

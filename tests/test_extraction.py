@@ -558,6 +558,72 @@ def test_crawl_detail_enrichment_end_to_end(spark, tmp_path):
     assert dt_names == kept
 
 
+def test_sinya_html_fallback(spark):
+    """P7 (sinya.py:138-200): the HTML card parse fires ONLY for sinya pages
+    without a usable JSON span; integer price extraction, relative-href
+    absolutization, 有庫存 default, name+price>0 gate."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import (
+        extract_products,
+        sinya_html_fallback_products,
+    )
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    html_spans = [
+        ("title", "RTX 4090 白色特別版", None, 0),
+        ("price", "$45,900", None, 1),
+        ("link", None, "/product/123", 2),
+        ("title", "無價格產品", None, 3),  # no price → dropped
+        ("title", "另一卡", None, 4),
+        ("price", "NT＄12,000元", None, 5),
+        ("link", None, "https://abs.example.com/p9", 6),
+    ]
+    json_spans = [
+        (
+            "json",
+            'const results = [{"prod_title": "JSON卡", "new_price": "5", "stock": 1}];',
+            None,
+            0,
+        )
+    ]
+    docs = spark.createDataFrame(
+        [
+            ("https://html-page", html_spans, "sinya", 0, 0),
+            ("https://json-page", json_spans, "sinya", 0, 1),
+        ],
+        DOCUMENTS_SCHEMA,
+    ).withColumn("seq_key", F.col("doc_id"))
+    out = sinya_html_fallback_products(docs).orderBy("seq").collect()
+    assert [(r.product_name, r.price, r.url) for r in out] == [
+        ("RTX 4090 白色特別版", 45900.0, "https://www.sinya.com.tw/product/123"),
+        ("另一卡", 12000.0, "https://abs.example.com/p9"),
+    ]
+    assert all(r.in_stock for r in out)
+    # unified view: JSON page parses via P5, HTML page via P7 — no overlap
+    prods = extract_products(docs, enrich_details=False)
+    by_name = {r.product_name for r in prods.filter("store='sinya'").collect()}
+    assert by_name == {"RTX 4090 白色特別版", "另一卡", "JSON卡"}
+
+
+def test_ua_rotation_deterministic_and_spread(spark):
+    """S2: UA pick is a pure function of the URL (stable across retries and
+    partitionings) and spreads across the whole pool."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.frontier.fetch import USER_AGENTS, ua_for_url
+
+    urls = spark.range(0, 400).select(
+        F.concat(F.lit("https://s.example.com/p/"), F.col("id")).alias("url")
+    )
+    picks = urls.select("url", ua_for_url("url").alias("ua"))
+    again = urls.repartition(13).select("url", ua_for_url("url").alias("ua"))
+    assert {tuple(r) for r in picks.collect()} == {tuple(r) for r in again.collect()}
+    dist = {r.ua: r.n for r in picks.groupBy("ua").agg(F.count("*").alias("n")).collect()}
+    assert set(dist) == set(USER_AGENTS)  # every UA used
+    assert min(dist.values()) > 50  # roughly uniform over 400 urls
+
+
 def test_spec_kv_operators(spark):
     """P19/P20: spec join, colon-split entries (half+full width), 500-char
     description truncation."""
