@@ -1365,6 +1365,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(_read(spark, sf_dir, "embeddings"), 0, 10)
 
 
+@_register("dedup_embedding_cosine", ann.duckdb_embedding_near_pairs())
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth dedup family: embedding-cosine near-dup pairs, block-local
+    self-join on the coarse label (partition-local at scale)."""
+    return ann.embedding_near_pairs(_read(spark, sf_dir, "embeddings"))
+
+
 @_register("ann_signlsh_topk", oracle=None)
 def q_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH probe (hyperplanes from md5 via base-16

@@ -185,6 +185,60 @@ def signlsh_bucket(vec: Column) -> Column:
     return bucket.cast("int")
 
 
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cos ≥ threshold),
+    the fifth dedup family next to exact/MinHash/SimHash/n-gram Jaccard.
+
+    The self-join keys on the coarse block column (IVF cell / cluster id):
+    with the table partitioned by it on disk the join is partition-local —
+    never an all-pairs cross join over the corpus. Norms are computed ONCE
+    per row before the join (the per-pair work is just the dot fold), and
+    the fold order matches the DuckDB mirror bit-for-bit. For a corpus
+    without a trained coarse quantizer, :func:`signlsh_bucket` is the
+    drop-in content-derived block key (recall < 1, like any LSH blocking).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def duckdb_embedding_near_pairs(
+    threshold: float = 0.3, table: str = "embeddings"
+) -> str:
+    cos = duckdb_cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+FROM {table} a JOIN {table} b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
 def signlsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,

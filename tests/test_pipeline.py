@@ -115,6 +115,25 @@ def test_ivf_results_subset_of_bruteforce_scores(emb):
         assert brute[r.vec_id] == r.cos
 
 
+def test_embedding_near_pairs_matches_duckdb(emb, duck):
+    assert_same(
+        ann.embedding_near_pairs(emb, threshold=0.2),
+        duck.sql(ann.duckdb_embedding_near_pairs(threshold=0.2)),
+        sort_cols=["id_a", "id_b"],
+    )
+
+
+def test_embedding_near_pairs_block_local(emb):
+    """Every emitted pair shares the block column — the join never crosses
+    coarse cells."""
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    pairs = ann.embedding_near_pairs(emb, threshold=0.2).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert labels[r.id_a] == labels[r.id_b]
+        assert r.id_a < r.id_b and r.cos >= 0.2
+
+
 def test_signlsh_bucket_deterministic_and_topk_consistent(emb):
     from pyspark.sql import functions as F
 
