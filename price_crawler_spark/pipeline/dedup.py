@@ -20,6 +20,13 @@ Four families, each scale-shaped for a 100 TB corpus:
 Every operator has a DuckDB SQL mirror (``duckdb_*``) used by the oracle
 harness; hashing is md5-based end-to-end because md5 is bit-identical across
 Spark, DuckDB, and Python (Spark's xxhash64 seed differs from DuckDB's hash).
+
+Cache contract: ``minhash_lsh_pairs`` and ``blocked_jaccard_pairs`` persist
+their signature/shingle tables because the returned plan scans them twice
+(band join + verify). The cache lives until the CALLER releases it —
+``spark.catalog.clearCache()`` after materializing the result (the bench
+harness does this between queries); a long-lived service should scope each
+invocation the same way.
 The frontier URL-seen path (price_crawler_spark.frontier.seen) keeps
 xxhash64 — there the key only has to be stable *within* Spark.
 """
