@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "multimodal_decode",
 ]
@@ -293,11 +294,12 @@ def run_crawl_only() -> None:
     from price_crawler_spark.session import get_spark
 
     spark = get_spark("bench-crawl", cores=CPUS, shuffle_partitions=CPUS)
-    # one warm-up pass (JVM/codegen), then 5 measured passes. The box is
+    # one warm-up pass (JVM/codegen), then N measured passes. The box is
     # shared — single passes swing 3× on neighbor noise — so `sec` is the
     # MINIMUM (interference-free capacity); median also reported.
+    n_runs = int(os.environ.get("SPARK_GRAFT_CRAWL_RUNS", "5"))
     frontier_throughput(spark, SF_DIR)
-    runs = [frontier_throughput(spark, SF_DIR) for _ in range(5)]
+    runs = [frontier_throughput(spark, SF_DIR) for _ in range(n_runs)]
     n = runs[0][0]
     best = min(r[1] for r in runs)
     med = statistics.median(r[1] for r in runs)
@@ -334,15 +336,26 @@ def hw_ceiling() -> float:
     return rates[32] / (4 * rates[8])
 
 
-def _scaling_pass() -> dict:
-    """One paired measurement: local[8] leg, local[32] leg (fresh subprocess
-    each, best-of-5 inside), and the pure-CPU hardware-ceiling probe taken
-    in the SAME time window so co-tenant interference hits job and probe
-    alike."""
+def _scaling_pair() -> dict:
+    """One tightly-paired measurement: local[8] leg immediately followed by
+    the local[32] leg (fresh subprocess each, best-of-3 inside, ~2 min total
+    window) and the pure-CPU hardware-ceiling probe in the SAME window, so
+    co-tenant interference hits job and probe alike. Box load *before* the
+    pair is recorded so a reviewer can see which pairs ran quiesced. A
+    settle sleep first lets the previous pair's own load decay out of the
+    1-min average — otherwise the sample reads back our own finished work
+    and the quiesce signal is meaningless."""
+    settle = int(os.environ.get("SPARK_GRAFT_SCALING_SETTLE_S", "75"))
+    time.sleep(settle)
+    load_before = round(os.getloadavg()[0], 1)
     out = {}
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        env.setdefault("SPARK_GRAFT_URL_VARIANTS", "64")
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_CRAWL_RUNS="3")
+        # 128 variants → 19.2M URLs: long enough legs (~45 s at 8c) that
+        # per-job fixed costs stop eating the 32c speedup (at 64 variants the
+        # same box measures raw ~0.54-0.67; at 128, ~0.72).
+        env.setdefault("SPARK_GRAFT_URL_VARIANTS", "128")
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only"],
             env=env, capture_output=True, text=True, timeout=1800,
@@ -351,33 +364,87 @@ def _scaling_pass() -> dict:
         out[cpus] = json.loads(line)
     eff = out[32]["urls_per_sec"] / (4 * out[8]["urls_per_sec"])
     ceiling = hw_ceiling()
+    membw = hw_ceiling_membw()
     return {
+        "loadavg_before": load_before,
         "local8": out[8], "local32": out[32],
         "scaling_efficiency_Nto4N": round(eff, 3),
-        "hw_ceiling_Nto4N": round(ceiling, 3),
+        "hw_ceiling_cpu_Nto4N": round(ceiling, 3),
+        "hw_ceiling_membw_Nto4N": round(membw, 3),
         "normalized_efficiency": round(eff / ceiling, 3),
     }
 
 
+_MEMBW_BUF = None
+
+
+def _membw_init(n: int) -> None:
+    global _MEMBW_BUF
+    import numpy as np
+
+    _MEMBW_BUF = (np.arange(n, dtype=np.int64), np.empty(n, dtype=np.int64))
+
+
+def _membw_pass(reps: int) -> int:
+    import numpy as np
+
+    a, b = _MEMBW_BUF
+    for _ in range(reps):
+        np.copyto(b, a)
+        b += 1
+    return int(b[0])
+
+
+def hw_ceiling_membw() -> float:
+    """Steady-state memory-BANDWIDTH scaling of this box going 8→32 workers
+    (preallocated numpy copy loops — no allocator noise). String/regex-heavy
+    Spark stages are partially bandwidth-bound, and on a single box 4×
+    threads share ONE memory bus; on a real cluster 4× executors bring 4×
+    buses. Reported alongside the pure-CPU ceiling so the job's raw
+    efficiency can be located between the two single-box resource limits."""
+    import multiprocessing as mp
+
+    n, reps, tasks_per = 8_000_000, 6, 4
+    rates = {8: 0.0, 32: 0.0}
+    for _ in range(3):  # best-of-3, same discipline as hw_ceiling()
+        for procs in (8, 32):
+            with mp.Pool(procs, initializer=_membw_init, initargs=(n,)) as p:
+                p.map(_membw_pass, [1] * procs)  # fault in the buffers
+                t0 = time.time()
+                p.map(_membw_pass, [reps] * procs * tasks_per)
+                rate = procs * tasks_per * reps * n * 16 / (time.time() - t0)
+            rates[procs] = max(rates[procs], rate)
+    return rates[32] / (4 * rates[8])
+
+
 def run_scaling() -> None:
-    """North-rule two-cluster-size evidence. ``SPARK_GRAFT_SCALING_PASSES``
-    (default 3) full paired passes; the headline number is the MEDIAN
-    normalized efficiency across passes — not the best pass — so the claim
-    doesn't rest on one lucky window. Quiesced-box protocol: the 32-core leg
-    needs all cores idle; run with no other Spark/pytest jobs on the box."""
+    """North-rule two-cluster-size evidence. ``SPARK_GRAFT_SCALING_PAIRS``
+    (default 5) interleaved 8↔32 pairs; the headline number is the MEDIAN
+    normalized efficiency across pairs — not the best pair — so the claim
+    doesn't rest on one lucky window. Each pair also records the 1-min load
+    average sampled before it started: the quiesced-box protocol is
+    "loadavg < 4 with no other Spark/pytest jobs", and the quiet-pair median
+    is reported alongside the all-pair median (both printed; neither
+    hidden)."""
     import statistics
 
-    n_passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
-    passes = [_scaling_pass() for _ in range(n_passes)]
-    med = statistics.median(p["normalized_efficiency"] for p in passes)
-    med_raw = statistics.median(p["scaling_efficiency_Nto4N"] for p in passes)
-    best = max(passes, key=lambda p: p["normalized_efficiency"])
+    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "5"))
+    pairs = [_scaling_pair() for _ in range(n_pairs)]
+
+    def _med(rows, key):
+        return round(statistics.median(p[key] for p in rows), 3) if rows else None
+
+    quiet = [p for p in pairs if p["loadavg_before"] < 4.0]
+    best = max(pairs, key=lambda p: p["normalized_efficiency"])
     print(json.dumps({
         "metric": "frontier canonicalize+dedup+schedule URLs/sec, local[8] vs local[32]",
-        "passes": passes,
-        "median_raw_efficiency": round(med_raw, 3),
-        "median_normalized_efficiency": round(med, 3),
-        "best_pass": best,
+        "pairs": pairs,
+        "median_raw_efficiency": _med(pairs, "scaling_efficiency_Nto4N"),
+        "median_normalized_efficiency": _med(pairs, "normalized_efficiency"),
+        "quiet_pairs": len(quiet),
+        "quiet_median_raw_efficiency": _med(quiet, "scaling_efficiency_Nto4N"),
+        "quiet_median_normalized_efficiency": _med(quiet, "normalized_efficiency"),
+        "best_pair": best,
         "sf": _sf(SF_DIR),
     }))
 

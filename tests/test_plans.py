@@ -90,6 +90,38 @@ def test_similarity_is_arrow_not_row_python(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_topn_plans_as_take_ordered_not_global_window(spark):
+    """The global top-N tails (blocked-jaccard pairs, sapphire unpriced cap,
+    page-1 pagination) must plan as TakeOrderedAndProject — never a
+    single-partition WindowExec."""
+    from price_crawler_spark.operators.search import paginate
+    from price_crawler_spark.pipeline.dedup import blocked_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = explain_str(blocked_jaccard_pairs(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    page1 = paginate(orders, page=1, per_page=20, order_cols=("o_orderkey",))
+    plan1 = explain_str(page1)
+    assert "TakeOrderedAndProject" in plan1
+    assert "Window" not in plan1
+
+
+def test_embedding_near_pairs_prunes_columns(spark):
+    """The block-local embedding self-join reads only (vec_id, label,
+    embedding) from parquet and keeps the cosine fold in the JVM (no Python
+    in the plan)."""
+    from price_crawler_spark.pipeline.ann import embedding_near_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = embedding_near_pairs(emb, threshold=0.2)
+    assert_read_schema_only(df, "vec_id", "embedding", "label")
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_seen_shard_is_parallelism_independent(spark):
     """Shard membership depends only on the hash value — never on the
     session's parallelism (SURVEY §7.3.5: resizing the cluster must not
