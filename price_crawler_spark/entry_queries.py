@@ -1429,3 +1429,40 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(
         multimodal.decode_media(multimodal.with_media_payload(docs))
     )
+
+
+@_register("multimodal_resize", multimodal.duckdb_resized_media())
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize stage (mapInPandas; dims arithmetic is the
+    checkable part, the production body swaps in PIL.resize)."""
+    docs = _read(spark, sf_dir, "documents")
+    return multimodal.resize_media(
+        multimodal.decode_media(multimodal.with_media_payload(docs))
+    )
+
+
+_FEAT_SCALAR_SQL = """
+SELECT doc_id,
+       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+       {parts}
+FROM documents""".format(
+    parts=", ".join(
+        f"('0x' || substr(md5(text), {8 * i + 1}, 8))::BIGINT / 4294967296.0 AS f{i}"
+        for i in range(4)
+    )
+)
+
+
+@_register("multimodal_features", _FEAT_SCALAR_SQL)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload feature vector (md5-derived 4-d signature standing in for
+    an encoder embedding; Arrow batch shape is the production shape). The
+    array is flattened to f0..f3 for the driver's column-sorted value hash
+    (array cells don't sort portably)."""
+    docs = _read(spark, sf_dir, "documents")
+    mf = multimodal.media_feature_vector(multimodal.with_media_payload(docs))
+    return mf.select(
+        "doc_id",
+        "kind",
+        *[F.element_at("feat", i + 1).alias(f"f{i}") for i in range(4)],
+    )

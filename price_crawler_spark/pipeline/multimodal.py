@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -119,6 +121,116 @@ def sample_frames(decoded: DataFrame, max_frames: int = 4) -> DataFrame:
         "kind",
         F.posexplode(frames).alias("frame_pos", "frame_idx"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Aspect-preserving fit into (target_w, target_h): scale =
+    min(tw/w, th/h), floor, min 1 px. mapInPandas with the same Arrow batch
+    shape the production version uses — there the loop body calls
+    ``PIL.Image.resize`` on the payload bytes; the dimension arithmetic
+    (what the oracle checks) is identical either way."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            scale = [
+                min(target_w / w, target_h / h)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": [
+                        max(1, math.floor(w * s)) for w, s in zip(pdf["width"], scale)
+                    ],
+                    "new_height": [
+                        max(1, math.floor(h * s)) for h, s in zip(pdf["height"], scale)
+                    ],
+                }
+            )
+
+    return decoded.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("feat", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_feature_vector(media: DataFrame) -> DataFrame:
+    """Feature extraction over the opaque payload: a 4-d deterministic
+    signature (md5-derived, uniform in [0,1)) standing in for an encoder
+    embedding. The Arrow plumbing — payload bytes into Python in record
+    batches, fixed-width float vector out — is exactly the production shape
+    (swap the md5 for a real model forward pass); md5 keeps the DuckDB
+    oracle bit-exact (divisions by 2^32 are lossless in double)."""
+    import hashlib
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                h = hashlib.md5(bytes(b)).hexdigest()
+                feats.append(
+                    [int(h[8 * i : 8 * i + 8], 16) / 4294967296.0 for i in range(4)]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["media_meta"].map(lambda m: m["kind"]),
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(_feat, FEATURE_SCHEMA)
+
+
+def duckdb_resized_media(
+    table: str = "documents", target_w: int = 224, target_h: int = 224
+) -> str:
+    return f"""
+WITH decoded AS ({duckdb_decoded_media(table)}),
+s AS (
+  SELECT *, least({target_w}.0 / width, {target_h}.0 / height) AS sc
+  FROM decoded)
+SELECT doc_id, kind, width, height,
+       greatest(1, floor(width * sc))::INT AS new_width,
+       greatest(1, floor(height * sc))::INT AS new_height
+FROM s
+"""
+
+
+def duckdb_media_features(table: str = "documents") -> str:
+    parts = ", ".join(
+        f"('0x' || substr(md5(text), {8 * i + 1}, 8))::BIGINT / 4294967296.0"
+        for i in range(4)
+    )
+    return f"""
+SELECT doc_id,
+       ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+       [{parts}] AS feat
+FROM {table}
+"""
 
 
 def duckdb_decoded_media(table: str = "documents") -> str:

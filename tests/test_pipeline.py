@@ -164,6 +164,32 @@ def test_sample_frames_matches_duckdb(docs, duck):
     )
 
 
+def test_resize_media_matches_duckdb(docs, duck):
+    decoded = multimodal.decode_media(multimodal.with_media_payload(docs))
+    assert_same(
+        multimodal.resize_media(decoded),
+        duck.sql(multimodal.duckdb_resized_media()),
+        sort_cols=["doc_id"],
+    )
+    # invariant: resized dims fit the box (>= one dim within 1px of it —
+    # floor of w*(224/w) can land on 223 in IEEE double)
+    for r in multimodal.resize_media(decoded).collect():
+        assert 1 <= r.new_width <= 224 and 1 <= r.new_height <= 224
+        assert r.new_width >= 223 or r.new_height >= 223
+
+
+def test_media_features_match_duckdb(docs, duck):
+    assert_same(
+        multimodal.media_feature_vector(multimodal.with_media_payload(docs)),
+        duck.sql(multimodal.duckdb_media_features()),
+        sort_cols=["doc_id"],
+    )
+    rows = multimodal.media_feature_vector(
+        multimodal.with_media_payload(docs)
+    ).collect()
+    assert all(len(r.feat) == 4 and all(0 <= v < 1 for v in r.feat) for r in rows)
+
+
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode_image(b"\x89PNG")
