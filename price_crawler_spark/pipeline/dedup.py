@@ -197,26 +197,25 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, id_col, text_col, k, num_hashes, family)
 
     def _band_key(b: int) -> Column:
-        return F.array_join(
-            F.transform(
-                F.slice("sig", b * r + 1, r), lambda v: v.cast("string")
-            ),
-            "|",
-        )
+        # One int64 per (band, slice): xxhash64 over the band index + the
+        # r-value signature slice. A hash collision can only MERGE buckets —
+        # extra candidates the exact-Jaccard verify rejects — never lose a
+        # true candidate, so verified output is identical to exact string
+        # keys while the banded shuffle row shrinks to (id, key) = 16 B.
+        return F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r))
 
-    # The band self-join runs on skinny (id, band, key) rows — shuffling the
+    # The band self-join runs on skinny (id, key) rows — shuffling the
     # shingle arrays through the join would move ~50× more bytes. Arrays are
     # joined back per UNIQUE candidate pair from the (small) signature table.
     sigs = sigs.persist()
     band_arr = F.array(*[_band_key(b) for b in range(bands)])
-    banded = sigs.select("id", F.posexplode(band_arr).alias("band", "key"))
+    banded = sigs.select("id", F.explode(band_arr).alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
