@@ -329,6 +329,117 @@ def q_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coolpc_clean_oracle() -> str:
+    """F7 mirror: the verbatim mojibake replace chain + the (?U) keep-class
+    regex spelled out for RE2 (no (?U); \\w is ASCII there, so the class is
+    written explicitly with the CJK range)."""
+    from price_crawler_spark.functions.names import COOLPC_MOJIBAKE_FIXES
+
+    src = "('dM ' || p_name || ' fB760 Xʡ ★限定')"
+    # Java's (?U)\w ≈ RE2's \p{L}\p{N}_ (any-script letters/digits); the CJK
+    # range and the mojibake's stray letters (ʡ U+02A1) are both \p{L}.
+    expr = (
+        f"regexp_replace({src}, "
+        "'[^\\p{L}\\p{N}_\\s\\-()\\[\\]/+.]+', ' ', 'g')"
+    )
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    for old, new in COOLPC_MOJIBAKE_FIXES:
+        o = old.replace("'", "''")
+        n = new.replace("'", "''")
+        expr = f"replace({expr}, '{o}', '{n}')"
+    expr = f"regexp_replace({expr}, '\\[\\s*專案\\s*\\]', '[專案]', 'g')"
+    expr = f"regexp_replace({expr}, '\\[\\s*A\\s*-專案\\s*\\]', '[專案]', 'g')"
+    return f"SELECT p_partkey, trim({expr}) AS name FROM part"
+
+
+@_register("name_clean_coolpc", None)  # oracle attached below
+def q_name_clean_coolpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (coolpc.py:173-218): keep-class strip + verbatim Big5-mojibake fix
+    chain + 專案-tag dedupe, exercised on names carrying real mojibake
+    tokens (dM → 專案, fB760 → [需搭配B760], Xʡ → CPU合購)."""
+    part = _read(spark, sf_dir, "part")
+    raw = F.concat(F.lit("dM "), F.col("p_name"), F.lit(" fB760 Xʡ ★限定"))
+    return part.select(
+        "p_partkey", names.coolpc_clean_name(raw).alias("name")
+    )
+
+
+ORACLES["name_clean_coolpc"] = _coolpc_clean_oracle()
+
+
+_PCHOME_SUFFIX_SQL = """(CASE p_partkey % 6
+  WHEN 0 THEN ' 電競機組合' WHEN 1 THEN ' + 散熱器'
+  WHEN 2 THEN ' 買就送滑鼠' WHEN 3 THEN ' 第2件半價'
+  WHEN 4 THEN ' 限時組合價' ELSE '' END)"""
+
+
+def _pchome_bundle_oracle() -> str:
+    kw = duckdb_contains_any("name", predicates.PCHOME_BUNDLE_KEYWORDS)
+    # (?U) has no RE2 equivalent — \w spelled out with the CJK range.
+    w = "[0-9A-Za-z_一-鿿]"
+    multi = (
+        f"\\+\\s*{w}+|＋\\s*{w}+|含\\s*{w}+|送\\s*{w}+|\\d+件|\\d+組|第\\d+件"
+        "|加購.*\\d+元|限時.*組合|特價.*組合"
+    )
+    return f"""WITH nm AS (SELECT p_partkey, p_name || {_PCHOME_SUFFIX_SQL} AS name FROM part)
+SELECT p_partkey, name,
+       ({kw} OR regexp_matches(name, '{multi}')) AS is_bundle
+FROM nm"""
+
+
+@_register("bundle_detect_pchome", None)  # oracle attached below
+def q_bundle_detect_pchome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 (pchome.py:191-245): the full ~60-keyword list + the (?U)
+    multi-product regex."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    name = F.concat(
+        F.col("p_name"),
+        F.when(pk % 6 == 0, F.lit(" 電競機組合"))
+        .when(pk % 6 == 1, F.lit(" + 散熱器"))
+        .when(pk % 6 == 2, F.lit(" 買就送滑鼠"))
+        .when(pk % 6 == 3, F.lit(" 第2件半價"))
+        .when(pk % 6 == 4, F.lit(" 限時組合價"))
+        .otherwise(F.lit("")),
+    )
+    return part.select(
+        "p_partkey",
+        name.alias("name"),
+        predicates.pchome_is_bundle(name).alias("is_bundle"),
+    )
+
+
+ORACLES["bundle_detect_pchome"] = _pchome_bundle_oracle()
+
+
+@_register(
+    "lineage_counts",
+    """SELECT 'shop' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+       CAST(o_orderkey % 3 AS INT) AS wave,
+       CAST(count(*) AS BIGINT) AS n_scheduled,
+       CAST(sum(CASE WHEN o_orderkey % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+FROM orders GROUP BY 1, 2""",
+)
+def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (per-scraper fetch lineage, wave.py log shape): per (host, wave)
+    scheduled/ok/failed counts — the map-side-combinable aggregate the wave
+    loop commits each snapshot."""
+    orders = _read(spark, sf_dir, "orders")
+    host = F.concat(F.lit("shop"), (F.col("o_custkey") % 20).cast("string"))
+    ok = F.col("o_orderkey") % 11 != 0
+    return (
+        orders.groupBy(
+            host.alias("host"), (F.col("o_orderkey") % 3).cast("int").alias("wave")
+        )
+        .agg(
+            F.count("*").alias("n_scheduled"),
+            F.sum(ok.cast("int")).alias("n_ok"),
+            F.sum((~ok).cast("int")).alias("n_failed"),
+        )
+    )
+
+
 # ---- extraction (P2/P3: CoolPC option scan) --------------------------------
 
 _OPTION_TEXT_SQL = (
