@@ -200,6 +200,52 @@ def test_resume_from_checkpoint(spark, tmp_path_factory, oracle):
     assert docs.count() >= docs_committed
 
 
+def test_crash_mid_commit_is_invisible(spark, tmp_path, oracle, monkeypatch):
+    """North rule 'resumable from checkpoint', the hard case: a wave that
+    dies AFTER its table data is written but BEFORE the manifest swap must
+    leave the store at the previous snapshot (orphan data unreferenced), and
+    a resume must re-run the wave idempotently to the oracle state."""
+    import price_crawler_spark.sources.store as store_mod
+
+    root = str(tmp_path)
+    run1 = CrawlRun(spark, root, QUERIES, wave_seconds=WAVE_SECONDS)
+    run1.run(max_waves=1)
+    snap_before = run1.store.current()["id"]
+    docs_before = run1.documents().count()
+
+    real_replace = store_mod.os.replace
+    state = {"crashed": False}
+
+    def crash_on_manifest(src, dst):
+        if dst.endswith("manifest.json") and dst.startswith(root) and not state["crashed"]:
+            state["crashed"] = True
+            raise OSError("simulated crash before manifest swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(store_mod.os, "replace", crash_on_manifest)
+    run2 = CrawlRun(spark, root, QUERIES, wave_seconds=WAVE_SECONDS)
+    with pytest.raises(OSError):
+        run2.run_wave()
+    monkeypatch.setattr(store_mod.os, "replace", real_replace)
+    assert state["crashed"]
+
+    # the failed wave is invisible: same snapshot, same committed docs
+    probe = CrawlRun(spark, root, QUERIES, wave_seconds=WAVE_SECONDS)
+    assert probe.store.current()["id"] == snap_before
+    assert probe.documents().count() == docs_before
+
+    # resume replays the wave idempotently to the oracle terminal state
+    run3 = CrawlRun(spark, root, QUERIES, wave_seconds=WAVE_SECONDS)
+    run3.run(max_waves=8)
+    got = [
+        (r["wave"], r["seq_key"], r["doc_id"], r["store"])
+        for r in run3.crawl_order().collect()
+    ]
+    assert got == oracle["fetch_order"]
+    docs = run3.documents()
+    assert docs.count() == docs.select("doc_id").distinct().count()
+
+
 def test_robots_txt_parser(spark):
     """J5: robots.txt subset parsing — group matching, wildcard fallback,
     crawl-delay, comments, empty disallow."""
