@@ -47,6 +47,32 @@ def test_canonicalizer_python_mirror(spark):
     assert got == [canonicalize_py(u) for u in urls]
 
 
+def test_property_canonicalizer_parity(spark):
+    """Engine canonicalizer vs the pure-Python mirror on 400 adversarial
+    URL combinations: mixed-case schemes/hosts, default and odd ports,
+    doubled slashes, trailing host dots, tracking params, duplicate params,
+    fragments, empty paths."""
+    import random
+
+    rng = random.Random(13)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp"]
+    hosts = ["Shop.Example.COM", "a.b.c", "X9.example.com.", "localhost"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "//a//b", "/a/b/", "/a.b/c", "/x%20y", "///"]
+    qs = ["", "?a=1", "?utm_source=x", "?b=2&a=1&utm_campaign=z&ref=r",
+          "?a=1&a=0", "?fbclid=42&z=9"]
+    frags = ["", "#f", "#a/b?c=1"]
+    cases = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(qs) + rng.choice(frags)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = [r[0] for r in df.select(canonicalize_url("u")).collect()]
+    expected = [canonicalize_py(u) for u in cases]
+    assert got == expected
+
+
 def test_crawl_order_matches_reference_oracle(crawl, oracle):
     got = [
         (r["wave"], r["seq_key"], r["doc_id"], r["store"])
