@@ -383,6 +383,10 @@ def _membw_init(n: int) -> None:
     import numpy as np
 
     _MEMBW_BUF = (np.arange(n, dtype=np.int64), np.empty(n, dtype=np.int64))
+    # fault both buffers in HERE: the initializer runs exactly once per pool
+    # worker, unlike a warm-up map() whose greedy chunking can leave a worker
+    # cold and push its page faults into the timed window.
+    np.copyto(_MEMBW_BUF[1], _MEMBW_BUF[0])
 
 
 def _membw_pass(reps: int) -> int:
@@ -409,7 +413,9 @@ def hw_ceiling_membw() -> float:
     for _ in range(3):  # best-of-3, same discipline as hw_ceiling()
         for procs in (8, 32):
             with mp.Pool(procs, initializer=_membw_init, initargs=(n,)) as p:
-                p.map(_membw_pass, [1] * procs)  # fault in the buffers
+                # startup barrier only (faulting happens in the initializer;
+                # a map can't guarantee per-worker task distribution)
+                p.map(_membw_pass, [1] * procs * 2)
                 t0 = time.time()
                 p.map(_membw_pass, [reps] * procs * tasks_per)
                 rate = procs * tasks_per * reps * n * 16 / (time.time() - t0)

@@ -84,6 +84,10 @@ _PRICE_TEXT_SQL = (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# per-process crawl-demo store dirs, keyed by query tuple (see
+# q_crawl_search_demo for the lifecycle rationale)
+_DEMO_RUN_DIRS: dict[tuple, str] = {}
+
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -1501,21 +1505,25 @@ def q_crawl_search_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the pure-Python reference oracle is pytest-gated
     (tests/test_frontier.py, tests/test_search.py).
 
-    The crawl runs to DRAIN under a stable per-(queries,engine-rev) dir: a
-    repeat invocation finds the frontier empty, re-reads the committed
-    snapshot tables from disk, and returns the identical lazy plan — no
-    ``.collect()`` round-trip through the driver."""
-    import hashlib
-    import os
-    import tempfile
-
+    The crawl runs to DRAIN under a per-process store dir (fresh mkdtemp the
+    first time this process asks for these queries, memoized after): repeat
+    invocations in the same process re-read the committed snapshot from disk
+    and return the identical lazy plan — no ``.collect()`` round-trip — while
+    concurrent driver processes and engine-code changes each get their own
+    store (no cross-process manifest races, no stale-cache-by-forgotten-tag;
+    the crawl is deterministic, so every store holds the same content)."""
     from price_crawler_spark.frontier.wave import CrawlRun
     from price_crawler_spark.operators.extraction import extract_products
     from price_crawler_spark.operators.search import search
 
     queries = ["RTX 4090"]
-    tag = hashlib.md5(("r2|" + "|".join(queries)).encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"pcs_demo_{tag}")
+    key = tuple(queries)
+    root = _DEMO_RUN_DIRS.get(key)
+    if root is None:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="pcs_demo_")
+        _DEMO_RUN_DIRS[key] = root
     run = CrawlRun(spark, root, queries=queries)
     run.run(max_waves=8)  # drains well before 8; terminal state is stable
     products = extract_products(run.documents())

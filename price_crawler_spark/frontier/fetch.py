@@ -55,6 +55,17 @@ def ua_for_url(url) -> F.Column:
         F.array(*[F.lit(u) for u in USER_AGENTS]), (idx + 1).cast("int")
     )
 
+
+def ua_for_url_py(url: str) -> str:
+    """Python mirror of :func:`ua_for_url`, used INSIDE the fetch batch (the
+    url is already in the Arrow batch — recomputing the pick there costs one
+    md5 per request instead of widening every fetch batch by a ~115 B
+    column). Parity with the Column version is pytest-gated."""
+    import hashlib
+
+    h = int(hashlib.md5(url.encode("utf-8")).hexdigest()[:12], 16)
+    return USER_AGENTS[h % len(USER_AGENTS)]
+
 _EXTRA_FIELDS = [
     T.StructField("ok", T.BooleanType(), False),
     T.StructField("spans_json", T.StringType(), True),
@@ -68,7 +79,6 @@ def fetch_scheduled(sched: DataFrame) -> DataFrame:
     Grouped by ``host_salt`` when present (C6: a mega host's quota-selected
     URLs spread over salt buckets, each bucket one Arrow batch), else by
     true host."""
-    sched = sched.withColumn("ua", ua_for_url("url"))
     group_key = "host_salt" if "host_salt" in sched.columns else "host"
     keep = [c for c in sched.columns if c not in ("crawl_delay", "host_salt")]
     out_schema = T.StructType(
@@ -78,11 +88,13 @@ def fetch_scheduled(sched: DataFrame) -> DataFrame:
     def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         # Politeness order within the host (reference fetches sequentially
         # per host; crawl_delay sleeping happens here in live mode). In live
-        # mode each request sends its row's ``ua`` header (S2); the synthetic
-        # transport ignores it but the column rides along as lineage.
+        # mode each request sends ``ua_for_url_py(url)`` as its UA header
+        # (S2) — computed here from the url already in the batch, never
+        # shipped as an extra Arrow column through the hot path.
         pdf = pdf.sort_values(["priority", "seq_key"]).reset_index(drop=True)
         oks, spans_js, links_js = [], [], []
         for url, store, attempts in zip(pdf["url"], pdf["store"], pdf["attempts"]):
+            _ua = ua_for_url_py(url)  # live transport: headers={'User-Agent': _ua}
             if fetch_fails(url, int(attempts)):
                 oks.append(False)
                 spans_js.append(None)

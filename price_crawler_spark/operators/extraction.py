@@ -59,6 +59,24 @@ def _spans(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "store", "seq_key", "span.*")
 
 
+def _title_grouped(s: DataFrame) -> DataFrame:
+    """Card-item delimiting shared by every HTML-card parse: items start at
+    their ``title`` span, so item_idx = running title count per doc (window
+    over offset — partitions are single documents, so the window is
+    narrow); spans before the first title belong to no item and drop."""
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return s.withColumn(
+        "item_idx",
+        F.sum(F.when(F.col("kind") == "title", 1).otherwise(0)).over(w) - 1,
+    ).filter(F.col("item_idx") >= 0)
+
+
+def _of(kind: str, col: str) -> F.Column:
+    """Conditional-max aggregator: the value of span ``kind``'s ``col``
+    within a (doc, item) group."""
+    return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+
 def coolpc_products(docs: DataFrame) -> DataFrame:
     """P2/P3: OPTION spans → products; keep rows with '$' and len>10
     (coolpc.py:69-81), price = $(\\d+), name = text minus price suffix."""
@@ -97,14 +115,7 @@ def card_products(docs: DataFrame) -> DataFrame:
     ).filter(
         F.col("kind").isin("title", "price", "link", "image", "stock", "button")
     )
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    s = s.withColumn(
-        "item_idx",
-        F.sum(F.when(F.col("kind") == "title", 1).otherwise(0)).over(w) - 1,
-    ).filter(F.col("item_idx") >= 0)
-
-    def _of(kind: str, col: str):
-        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+    s = _title_grouped(s)
 
     grp = s.groupBy("doc_id", "store", "seq_key", "item_idx").agg(
         _of("title", "text").alias("name_raw"),
@@ -230,14 +241,7 @@ def sinya_html_fallback_products(docs: DataFrame) -> DataFrame:
     s = _spans(
         docs.filter(F.col("store") == "sinya").filter(~has_json)
     ).filter(F.col("kind").isin("title", "price", "link"))
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    s = s.withColumn(
-        "item_idx",
-        F.sum(F.when(F.col("kind") == "title", 1).otherwise(0)).over(w) - 1,
-    ).filter(F.col("item_idx") >= 0)
-
-    def _of(kind: str, col: str):
-        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+    s = _title_grouped(s)
 
     grp = s.groupBy("doc_id", "store", "seq_key", "item_idx").agg(
         _of("title", "text").alias("name_raw"),

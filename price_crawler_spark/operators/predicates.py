@@ -89,6 +89,9 @@ def dtsource_bundle_only(text: Column | str) -> Column:
 # disabled, overrides the text heuristic to out-of-stock. No button found
 # (null) → no evidence → leave the text verdict standing.
 PCHOME_BUTTON_OOS_RE = r"缺貨|補貨|售完|暫停"
+# momo's variant (extra 無法購買). momo is a DISABLED store in the reference
+# registry (main.py:49-52), so nothing wires this in — it is data parity for
+# the day the store is re-enabled, exercised by tests only.
 MOMO_BUTTON_OOS_RE = r"缺貨|補貨|售完|暫停|無法購買"
 
 
@@ -132,7 +135,11 @@ def sapphire_in_stock(element_text: Column | str, price_text: Column | str) -> C
     return sapphire_stock_state(element_text, price_text) == "有庫存"
 
 
-# D6b — Sapphire standalone status-text parse (sapphire.py:584-596).
+# D6b — Sapphire standalone status-text parse (sapphire.py:584-596). The
+# reference calls this only from get_product_details, a path the active
+# search flow never triggers for stock — kept as a tested parity surface,
+# not wired into extract_products (wiring it would invent behavior the
+# reference doesn't have).
 def sapphire_parse_stock_status(status_text: Column | str) -> Column:
     c = _col(status_text)
     return (

@@ -40,11 +40,22 @@ SEEN_OUT_SCHEMA = StructType(
         StructField("canonical_url", StringType(), True),
     ]
 )
-# State is the shard's exact seen-hash set as PACKED little-endian int64
-# bytes (8 B/URL — an order of magnitude tighter than the former CSV string,
-# and zero-parse on load via numpy.frombuffer). Bytes are kept sorted so the
-# state blob is deterministic under any batch arrival order.
+# State is the shard's exact seen-hash set as a 4-byte magic tag + PACKED
+# little-endian int64 bytes (8 B/URL — an order of magnitude tighter than
+# the v0 CSV string, and zero-parse on load via numpy.frombuffer). Bytes
+# are kept sorted so the state blob is deterministic under any batch
+# arrival order. The magic tag versions the format: a blob without it is a
+# legacy v0 CSV payload (Spark's state-schema check blocks a string→binary
+# checkpoint restart anyway, but the decoder never misreads bytes on its
+# own format evolution).
+SEEN_STATE_MAGIC = b"PCS1"
 SEEN_STATE_SCHEMA = StructType([StructField("seen", BinaryType(), True)])
+
+
+def _decode_seen(blob: bytes) -> set[int]:
+    if blob.startswith(SEEN_STATE_MAGIC):
+        return set(np.frombuffer(blob[len(SEEN_STATE_MAGIC):], dtype="<i8").tolist())
+    return {int(x) for x in blob.decode().split(",") if x}  # legacy v0 CSV
 
 
 def _dedup_shard(
@@ -56,7 +67,7 @@ def _dedup_shard(
     if state.exists:
         (blob,) = state.get
         if blob:
-            seen = set(np.frombuffer(bytes(blob), dtype="<i8").tolist())
+            seen = _decode_seen(bytes(blob))
     out_h: list[int] = []
     out_u: list[str] = []
     for pdf in batches:
@@ -68,7 +79,9 @@ def _dedup_shard(
                 seen.add(h)
                 out_h.append(h)
                 out_u.append(u)
-    state.update((np.asarray(sorted(seen), dtype="<i8").tobytes(),))
+    state.update(
+        (SEEN_STATE_MAGIC + np.asarray(sorted(seen), dtype="<i8").tobytes(),)
+    )
     yield pd.DataFrame({"url_hash": out_h, "canonical_url": out_u})
 
 

@@ -616,9 +616,14 @@ def test_ua_rotation_deterministic_and_spread(spark):
     urls = spark.range(0, 400).select(
         F.concat(F.lit("https://s.example.com/p/"), F.col("id")).alias("url")
     )
+    from price_crawler_spark.frontier.fetch import ua_for_url_py
+
     picks = urls.select("url", ua_for_url("url").alias("ua"))
     again = urls.repartition(13).select("url", ua_for_url("url").alias("ua"))
     assert {tuple(r) for r in picks.collect()} == {tuple(r) for r in again.collect()}
+    # the in-batch Python mirror (used by the fetch UDF) picks identically
+    for r in picks.collect():
+        assert ua_for_url_py(r.url) == r.ua
     dist = {r.ua: r.n for r in picks.groupBy("ua").agg(F.count("*").alias("n")).collect()}
     assert set(dist) == set(USER_AGENTS)  # every UA used
     assert min(dist.values()) > 50  # roughly uniform over 400 urls

@@ -123,6 +123,23 @@ def test_streaming_first_seen_dedups_across_batches(spark, tmp_stream_dir):
     assert got == expected == {(1, "u1"), (2, "u2"), (3, "u3"), (4, "u4")}
 
 
+def test_seen_state_decode_versioning():
+    """The magic-tagged packed-int64 format round-trips, and a legacy v0
+    CSV blob still decodes (format evolution never misreads bytes)."""
+    import numpy as np
+
+    from price_crawler_spark.streaming.seen_state import (
+        SEEN_STATE_MAGIC,
+        _decode_seen,
+    )
+
+    hashes = {-5, 0, 3, 2**62}
+    blob = SEEN_STATE_MAGIC + np.asarray(sorted(hashes), dtype="<i8").tobytes()
+    assert _decode_seen(blob) == hashes
+    assert _decode_seen(b"1,2,42") == {1, 2, 42}  # legacy CSV
+    assert _decode_seen(b"") == set()
+
+
 def test_streaming_first_seen_binary_state_at_scale(spark, tmp_stream_dir):
     """Batch-equivalence at 10× the small fixture and across 4 micro-batches:
     the packed-int64 state blob must carry the exact seen set between
