@@ -929,6 +929,53 @@ def q_ua_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ua_rotation"] = _ua_oracle()
 
 
+_SINYA_DETAIL_TEXT_SQL = """(CASE p_partkey % 5
+  WHEN 0 THEN p_name || ' 貨到通知我' WHEN 1 THEN p_name || ' 加入購物車'
+  WHEN 4 THEN p_name || ' 等待到貨 立即購買' ELSE p_name END)"""
+_SINYA_CART_SQL = "(p_partkey % 5 IN (0, 2))"
+
+
+def _sinya_detail_oracle() -> str:
+    oos = duckdb_contains_any(
+        "t", predicates.SINYA_DETAIL_OOS_INDICATORS, lowercase=False
+    )
+    ins = duckdb_contains_any(
+        "t", predicates.SINYA_DETAIL_IN_STOCK_INDICATORS, lowercase=False
+    )
+    return f"""WITH s AS (SELECT p_partkey, {_SINYA_DETAIL_TEXT_SQL} AS t,
+                 {_SINYA_CART_SQL} AS cart FROM part)
+SELECT p_partkey,
+       (CASE WHEN {oos} THEN '缺貨'
+             WHEN {ins} THEN '有庫存'
+             WHEN cart THEN '有庫存'
+             ELSE '缺貨' END) AS state
+FROM s"""
+
+
+@_register("sinya_detail_stock", None)  # oracle attached below
+def q_sinya_detail_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4b (sinya.py:244-301): detail-page whole-text stock check — OOS
+    indicators beat in-stock indicators beat the cart-button fallback beat
+    the conservative 缺貨 default. Case 4 has BOTH lists present (OOS must
+    win); case 2 is cart-button-only; case 3 is the default."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    t = (
+        F.when(pk % 5 == 0, F.concat(F.col("p_name"), F.lit(" 貨到通知我")))
+        .when(pk % 5 == 1, F.concat(F.col("p_name"), F.lit(" 加入購物車")))
+        .when(pk % 5 == 4, F.concat(F.col("p_name"), F.lit(" 等待到貨 立即購買")))
+        .otherwise(F.col("p_name"))
+    )
+    cart = (pk % 5).isin(0, 2)
+    return part.select(
+        "p_partkey",
+        predicates.sinya_detail_stock_state(t, cart).alias("state"),
+    )
+
+
+ORACLES["sinya_detail_stock"] = _sinya_detail_oracle()
+
+
 # ---- sapphire extraction family oracles (P11, P12, P13) --------------------
 
 

@@ -557,16 +557,54 @@ def detail_enrichment(docs: DataFrame) -> DataFrame:
         "spans", lambda s: s.getField("kind") == F.lit("price")
     ) & F.exists("spans", lambda s: s.getField("kind") == F.lit("spec"))
     s = _spans(docs.filter(is_detail))
-    return s.groupBy(F.col("doc_id").alias("url")).agg(
+    # full page text (offset order) for the store-specific whole-page checks
+    page_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("text").isNotNull(),
+                        F.struct("offset", "text"),
+                    )
+                )
+            ),
+            lambda x: x.getField("text"),
+        ),
+        " ",
+    )
+    has_cart = F.coalesce(
+        F.bool_or(
+            (F.col("kind") == "button") & F.col("text").contains("購物車")
+        ),
+        F.lit(False),
+    )
+    grp = s.groupBy(F.col("doc_id").alias("url")).agg(
+        F.first("store").alias("_store"),
         F.max(F.when(F.col("kind") == "spec", F.col("text"))).alias(
             "detail_specs"
         ),
         F.max(
             F.when(F.col("kind") == "stock", P.is_in_stock(F.col("text")))
-        ).alias("detail_in_stock"),
+        ).alias("_stock_span_verdict"),
+        page_text.alias("_page_text"),
+        has_cart.alias("_has_cart"),
         F.coalesce(
             F.bool_or(P.dtsource_bundle_only(F.col("text"))), F.lit(False)
         ).alias("detail_bundle_only"),
+    )
+    # D4b: sinya details are judged by sinya's own whole-page indicator
+    # lists + cart-button fallback + conservative default (sinya.py:244-301);
+    # other stores keep the stock-span D1 verdict.
+    return grp.select(
+        "url",
+        "detail_specs",
+        F.when(
+            F.col("_store") == "sinya",
+            P.sinya_detail_in_stock(F.col("_page_text"), F.col("_has_cart")),
+        )
+        .otherwise(F.col("_stock_span_verdict"))
+        .alias("detail_in_stock"),
+        "detail_bundle_only",
     )
 
 

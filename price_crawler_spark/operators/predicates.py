@@ -156,6 +156,45 @@ def sapphire_parse_stock_status(status_text: Column | str) -> Column:
     )
 
 
+# D4b — Sinya DETAIL-page stock check (sinya.py:244-301,
+# `_check_product_stock_detail`): the escalation target for 需確認庫存
+# search rows. Priority: explicit OOS indicators anywhere in the page text
+# → 缺貨; explicit in-stock indicators → 有庫存; a cart button → 有庫存;
+# otherwise the conservative default 缺貨 (sinya.py:294-296).
+SINYA_DETAIL_OOS_INDICATORS = [
+    "補貨中", "缺貨", "無庫存", "貨到通知", "預購", "到貨通知",
+    "暫無庫存", "售完", "停售", "未上市", "貨到通知我",
+    "暫停供應", "暫時缺貨", "等待到貨",
+]
+SINYA_DETAIL_IN_STOCK_INDICATORS = [
+    "加入購物車", "立即結帳", "立即購買", "現貨", "庫存充足",
+    "可購買", "有庫存",
+]
+
+
+def sinya_detail_stock_state(page_text: Column, has_cart_button: Column) -> Column:
+    return (
+        F.when(
+            page_text.isNotNull()
+            & _contains_any(page_text, SINYA_DETAIL_OOS_INDICATORS, lowercase=False),
+            F.lit("缺貨"),
+        )
+        .when(
+            page_text.isNotNull()
+            & _contains_any(
+                page_text, SINYA_DETAIL_IN_STOCK_INDICATORS, lowercase=False
+            ),
+            F.lit("有庫存"),
+        )
+        .when(F.coalesce(has_cart_button, F.lit(False)), F.lit("有庫存"))
+        .otherwise(F.lit("缺貨"))
+    )
+
+
+def sinya_detail_in_stock(page_text: Column, has_cart_button: Column) -> Column:
+    return sinya_detail_stock_state(page_text, has_cart_button) == "有庫存"
+
+
 # D7 — CoolPC 專案/bundle detector (coolpc.py:158-171).
 COOLPC_BUNDLE_KEYWORDS = [
     "專案", "需搭配", "cpu合購", "[需搭配", "[專案",

@@ -394,6 +394,52 @@ def test_detail_stock_escalation_flips_sinya(spark):
     assert rows["RTX 4090 未知B"].in_stock is False  # conservative default
 
 
+def test_sinya_detail_stock_check(spark):
+    """D4b truth table (sinya.py:244-301): OOS indicators > in-stock
+    indicators > cart button > conservative 缺貨 default — and the wired
+    path: a sinya detail page with only a cart button flips its 需確認庫存
+    parent to in-stock."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import extract_products
+    from price_crawler_spark.operators.predicates import sinya_detail_stock_state
+    from price_crawler_spark.schemas import DOCUMENTS_SCHEMA
+
+    rows = [
+        ("等待到貨 立即購買", True, "缺貨"),   # OOS wins over in-stock + cart
+        ("加入購物車", False, "有庫存"),
+        ("nothing decisive", True, "有庫存"),  # cart fallback
+        ("nothing decisive", False, "缺貨"),   # conservative default
+        ("貨到通知我", False, "缺貨"),
+    ]
+    df = spark.createDataFrame(rows, "t string, cart boolean, expected string")
+    for r in df.select(
+        "expected", sinya_detail_stock_state(F.col("t"), F.col("cart")).alias("got")
+    ).collect():
+        assert r.got == r.expected, (r.got, r.expected)
+
+    # wired: detail page with no stock span, just a cart button span
+    d = "https://www.sinya.com.tw/prod?id=cartonly"
+    payload = json.dumps(
+        [{"prod_title": "RTX 4090 購物車案例", "new_price": "99", "href": d}],
+        ensure_ascii=False,
+    )
+    docs = spark.createDataFrame(
+        [
+            ("https://search", [("json", f"const results = {payload};", None, 0)],
+             "sinya", 0, 0),
+            (d, [("title", "RTX 4090 購物車案例", None, 0),
+                 ("spec", "24GB", None, 1),
+                 ("button", "加入購物車", None, 2)], "sinya", 1, 1),
+        ],
+        DOCUMENTS_SCHEMA,
+    ).withColumn("seq_key", F.lit("00000000"))
+    out = extract_products(docs).collect()
+    assert len(out) == 1 and out[0].in_stock is True
+
+
 def test_buy_button_stock(spark):
     """D3 (pchome.py:166-189): a restock/disabled buy button overrides an
     otherwise in-stock card; a healthy button leaves it alone."""
