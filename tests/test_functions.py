@@ -5,6 +5,7 @@ product_matcher.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from price_crawler_spark.functions import names, prices, text, urls
@@ -13,6 +14,54 @@ from price_crawler_spark.functions import names, prices, text, urls
 def _vals(spark, fn, inputs):
     df = spark.createDataFrame([(x,) for x in inputs], ["s"])
     return [r[0] for r in df.select(fn(F.col("s")).alias("v")).collect()]
+
+
+def _load_reference_price_formatter():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_price_formatter", "/root/reference/app/utils/price_formatter.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.PriceFormatter
+
+
+def test_price_functions_fuzz_parity_with_reference(spark):
+    """F1/F3/F5 hard evidence: the Column expressions equal the ACTUAL
+    reference implementation (loaded read-only as a test oracle) on 300
+    fuzzed price texts / names."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    ref = _load_reference_price_formatter()
+    rng = random.Random(29)
+    frag = ["NT$", "$", "￥", "元", ",", "，", " ", "1", "23", "4567", ".", ".5",
+            "abc", "特價", "-", ""]
+    texts = ["".join(rng.choice(frag) for _ in range(rng.randint(0, 8)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = [r[0] for r in df.select(prices.extract_price(F.col("t"))).collect()]
+    for t, g in zip(texts, got):
+        e = ref.extract_price(t)
+        assert (g is None and e is None) or g == pytest.approx(e), (t, g, e)
+
+    # format_price on integer-valued inputs (reference uses HALF_EVEN via
+    # format(), Spark format_number is HALF_EVEN too; integers avoid .5 edge)
+    vals = [float(rng.randint(0, 3_000_000)) for _ in range(100)]
+    dfv = spark.createDataFrame([(v,) for v in vals], ["v"])
+    gotf = [r[0] for r in dfv.select(prices.format_price(F.col("v"))).collect()]
+    assert gotf == [ref.format_price(v) for v in vals]
+
+    # normalize_product_name on catalog-ish names with the trigger tokens
+    from price_crawler_spark.sources.synthetic import CATALOG
+    names_in = [n for n, _p, _s in CATALOG] + [
+        "GeForce RTX 4090", "Intel Core i9", "AMD Ryzen 7", "  spaced   out  ",
+    ]
+    dfn = spark.createDataFrame([(n,) for n in names_in], ["n"])
+    gotn = [r[0] for r in dfn.select(names.normalize_product_name(F.col("n"))).collect()]
+    assert gotn == [ref.normalize_product_name(n) for n in names_in]
 
 
 # ---- F1-F4 price ------------------------------------------------------------
