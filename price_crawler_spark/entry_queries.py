@@ -664,32 +664,61 @@ def q_stock_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUNDLE_SUFFIX_SQL = """(CASE p_partkey % 6
+_BUNDLE_SUFFIX_SQL = """(CASE p_partkey % 8
   WHEN 0 THEN ' + 散熱器 + 機殼' WHEN 1 THEN ' NITRO+'
-  WHEN 2 THEN ' + 主機板' WHEN 3 THEN ' 組合包' ELSE '' END)"""
+  WHEN 2 THEN ' + 主機板' WHEN 3 THEN ' 組合包'
+  WHEN 4 THEN ' XT + 金士頓 DDR5 16G' WHEN 5 THEN ' NITRO+ 記憶體超頻'
+  WHEN 6 THEN ' 2套' ELSE '' END)"""
+
+
+def _autobuy_bundle_sql(name: str) -> str:
+    """DuckDB mirror of predicates.autobuy_is_bundle, built from the SAME
+    constants so the two can never drift. RE2 lacks (?U); plain \\s is safe
+    because the synthesized oracle input carries only ASCII whitespace."""
+    ind = duckdb_contains_any(name, predicates.AUTOBUY_BUNDLE_INDICATORS)
+    model = (
+        "(?i)" + predicates._AUTOBUY_MODEL_TOKENS + r"\s*\+\s*?(?:\s|$)"
+    )
+    esc = (
+        "(?i)"
+        + predicates._AUTOBUY_MODEL_TOKENS
+        + r"\s*\+.*(?:主機板|記憶體|硬碟|電源|螢幕|cpu|處理器)"
+    )
+    combo = "(?i)" + "|".join(f"(?:{p})" for p in predicates._AUTOBUY_COMBO_PARTS)
+    qty = predicates.AUTOBUY_QTY_RE
+    return f"""(CASE WHEN {name} IS NULL OR {name} = '' THEN FALSE ELSE (
+       {ind}
+       OR ((contains({name}, '+') OR contains({name}, '＋')) AND (
+             (len(regexp_split_to_array({name}, '[+＋]')) - 1) >= 2
+             OR (CASE WHEN regexp_matches({name}, '{model}')
+                      THEN regexp_matches({name}, '{esc}')
+                      ELSE regexp_matches({name}, '{combo}') END)))
+       OR regexp_matches({name}, '{qty}')) END)"""
 
 
 @_register(
     "bundle_detect",
     f"""WITH nm AS (SELECT p_partkey, p_name || {_BUNDLE_SUFFIX_SQL} AS name FROM part)
 SELECT p_partkey, name,
-       ({duckdb_contains_any("name", predicates.PCHOME_BUNDLE_KEYWORDS[:20])}
-        OR (len(regexp_split_to_array(name, '[+＋]')) - 1 >= 2
-            AND NOT regexp_matches(name, '(?i)(nitro|pulse|gaming|oc)\\s*\\+'))
-        OR (len(regexp_split_to_array(name, '[+＋]')) - 1 = 1
-            AND NOT regexp_matches(name, '(?i)(nitro|pulse|gaming|oc)\\s*\\+')
-            AND {duckdb_contains_any("name", ["主機板", "機殼", "電源"])})) AS is_bundle
+       {_autobuy_bundle_sql("name")} AS is_bundle
 FROM nm""",
 )
 def q_bundle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D10 (autobuy.py:204-278): plus-sign bundle logic w/ model-suffix
-    exception (NITRO+)."""
+    """D10 (autobuy.py:204-278, full parity): 50 indicators, plus-count,
+    model-suffix escalation (combo patterns skipped on that branch, as in
+    the reference), 12 combo patterns, quantity patterns. Suffix cases
+    exercise every branch, incl. the model-suffix-without-escalation
+    negative (' XT + 金士頓 DDR5 16G' → standalone in the reference)."""
     part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
     suffix = (
-        F.when(F.col("p_partkey") % 6 == 0, F.lit(" + 散熱器 + 機殼"))
-        .when(F.col("p_partkey") % 6 == 1, F.lit(" NITRO+"))
-        .when(F.col("p_partkey") % 6 == 2, F.lit(" + 主機板"))
-        .when(F.col("p_partkey") % 6 == 3, F.lit(" 組合包"))
+        F.when(pk % 8 == 0, F.lit(" + 散熱器 + 機殼"))
+        .when(pk % 8 == 1, F.lit(" NITRO+"))
+        .when(pk % 8 == 2, F.lit(" + 主機板"))
+        .when(pk % 8 == 3, F.lit(" 組合包"))
+        .when(pk % 8 == 4, F.lit(" XT + 金士頓 DDR5 16G"))
+        .when(pk % 8 == 5, F.lit(" NITRO+ 記憶體超頻"))
+        .when(pk % 8 == 6, F.lit(" 2套"))
         .otherwise(F.lit(""))
     )
     name = F.concat(F.col("p_name"), suffix)

@@ -241,20 +241,81 @@ def pchome_is_bundle(name: Column | str) -> Column:
     )
 
 
-# D10 — AUTOBUY plus-sign bundle logic (autobuy.py:204-278, condensed to its
-# decision core): ≥2 plus signs → bundle, unless the plus belongs to a model
-# suffix like "NITRO+" (autobuy.py:241-245).
-AUTOBUY_MODEL_PLUS_RE = r"(?i)(nitro|pulse|gaming|oc)\s*\+"
+# D10 — AUTOBUY bundle detector, full data parity with
+# autobuy.py:204-278 (`_is_bundle_product`). Decision procedure, in the
+# reference's exact order:
+#   0. empty/None name → False
+#   1. any of the 50 indicators in lower(name) → True
+#   2. if the name contains '+' or '＋':
+#        a. ≥2 plus signs → True
+#        b. model-suffix plus ("NITRO+ ", "XT + …", autobuy.py:241-245):
+#           bundle only if the escalation regex (plus followed by a hardware
+#           component) also matches — combo patterns are NOT consulted on
+#           this branch (they live in the reference's `else`)
+#        c. otherwise: any of the 12 combo patterns → True
+#   3. any quantity pattern (\d+件/\d+組/… autobuy.py:268-276) → True
+AUTOBUY_BUNDLE_INDICATORS = [
+    # autobuy.py:212-227 — verbatim, checked against lower(name)
+    "套裝", "組合", "搭配", "搭機", "搭購",
+    "限搭", "組裝價", "合購", "優惠組", "超值組",
+    "整機", "套餐", "方案", "組合包", "大組包",
+    "電競機", "電腦主機", "桌機", "筆電",
+    "筆記型電腦", "laptop", "notebook",
+    "組合價", "特惠組", "精選組", "豪華組",
+    "買送", "贈送", "加購", "含", "附",
+    "平台", "主機板平台", "處理器平台",
+    "水冷獸", "水冷獨顯", "獨顯水冷",
+    "mpk",  # AMD Multi-Pack Kit
+    "經濟組", "標準組", "進階組", "旗艦組",
+    "入門組", "基本組", "完整組", "全配組",
+    "限量組", "限定組", "專業組", "商務組",
+]
+_AUTOBUY_MODEL_TOKENS = r"(nitro|gaming|oc|ti|super|xt|gre|steel|legend|taichi|prime)"
+# (?U) makes Java's \s Unicode (matching Python re's \s); the DuckDB mirror
+# uses plain \s (RE2 has no (?U)) — safe because oracle inputs only carry
+# ASCII whitespace.
+AUTOBUY_MODEL_SUFFIX_RE = rf"(?U)(?i){_AUTOBUY_MODEL_TOKENS}\s*\+\s*?(?:\s|$)"
+AUTOBUY_MODEL_ESCALATION_RE = (
+    rf"(?U)(?i){_AUTOBUY_MODEL_TOKENS}\s*\+.*(?:主機板|記憶體|硬碟|電源|螢幕|cpu|處理器)"
+)
+_AUTOBUY_COMBO_PARTS = [
+    # autobuy.py:248-261 — verbatim
+    r"\+.*(?:主機板|mb|motherboard|b760|b850|z790|x670|x870)",
+    r"\+.*(?:記憶體|ram|memory|ddr4|ddr5)",
+    r"\+.*(?:硬碟|ssd|hdd|storage)",
+    r"\+.*(?:電源|psu|power)",
+    r"\+.*(?:螢幕|monitor|顯示器)",
+    r"\+.*(?:鍵盤|keyboard)",
+    r"\+.*(?:滑鼠|mouse)",
+    r"\+.*(?:cpu|處理器|intel|amd|i5|i7|i9|ryzen)",
+    r"\+.*(?:散熱器|cooler|風扇)",
+    r"\+.*(?:機殼|case)",
+    r"\+.*(?:華擎|asus|msi|技嘉|微星|gigabyte|asrock)",
+    r"(?:主機板|記憶體|硬碟|電源|螢幕|鍵盤|滑鼠|cpu|散熱器|機殼|intel|amd|i5|i7|i9|ryzen).*\+",
+]
+AUTOBUY_COMBO_RE = "(?i)" + "|".join(f"(?:{p})" for p in _AUTOBUY_COMBO_PARTS)
+_AUTOBUY_QTY_PARTS = [
+    # autobuy.py:268-276 — verbatim
+    r"\d+件", r"\d+組", r"\d+套",
+    r"第\d+件", r"兩件", r"三件", r"四件",
+    r"雙.*組合", r"三.*組合", r"四.*組合",
+]
+AUTOBUY_QTY_RE = "(?i)" + "|".join(f"(?:{p})" for p in _AUTOBUY_QTY_PARTS)
 
 
 def autobuy_is_bundle(name: Column | str) -> Column:
     c = _col(name)
-    plus_count = F.size(F.split(c, r"[+＋]")) - 1
-    model_plus = c.rlike(AUTOBUY_MODEL_PLUS_RE)
-    return (
-        _contains_any(c, PCHOME_BUNDLE_KEYWORDS[:20])  # shared combo terms
-        | ((plus_count >= 2) & ~model_plus)
-        | ((plus_count == 1) & ~model_plus & _contains_any(c, ["主機板", "機殼", "電源"]))
+    indicator = _contains_any(c, AUTOBUY_BUNDLE_INDICATORS)
+    has_plus = c.contains("+") | c.contains("＋")
+    plus_count = F.size(F.split(c, r"[+＋]", -1)) - 1
+    plus_branch = has_plus & (
+        (plus_count >= 2)
+        | F.when(
+            c.rlike(AUTOBUY_MODEL_SUFFIX_RE), c.rlike(AUTOBUY_MODEL_ESCALATION_RE)
+        ).otherwise(c.rlike(AUTOBUY_COMBO_RE))
+    )
+    return F.when(c.isNull() | (c == ""), F.lit(False)).otherwise(
+        indicator | plus_branch | c.rlike(AUTOBUY_QTY_RE)
     )
 
 

@@ -728,3 +728,73 @@ def test_generic_json_walk(spark):
         ("RX 9070 NITRO", 23000.0, "https://sapphiretech.cyberbiz.co/p/1"),
         ("RX 9060", 15000.0, "https://x.com/p2"),
     ]  # third item has no name → dropped
+
+
+def test_autobuy_bundle_fuzz_parity_with_reference(spark):
+    """D10 hard evidence: predicates.autobuy_is_bundle equals the ACTUAL
+    reference `_is_bundle_product` (ast-extracted from the hash-pinned
+    autobuy.py — the module itself imports aiohttp/bs4 which this sandbox
+    lacks) on 400+ adversarial generated names covering every branch:
+    indicators, plus-count, model-suffix escalation (and its negative),
+    all 12 combo patterns, and quantity patterns."""
+    import random
+
+    from .refsource import extract_function
+
+    ref_is_bundle = extract_function(
+        "app/scrapers/autobuy.py", "_is_bundle_product", cls="AutobuyScraper"
+    )
+
+    rng = random.Random(1031)
+    brands = ["SAPPHIRE", "ASUS", "msi", "技嘉", "撼訊", ""]
+    models = [
+        "RX 7800 XT", "RTX 4070 Ti", "RTX 5080 SUPER", "RX 9070 GRE",
+        "B650 Steel Legend", "X870 Taichi", "Z790 Prime", "i9-14900K",
+        "Ryzen 7 9800X3D", "PULSE RX 7800", "NITRO", "GAMING OC",
+    ]
+    suffixes = ["+", "＋", "+ ", " +", "", " NITRO+", " XT+", " Ti +"]
+    tails = [
+        "金士頓 DDR5 16G", "主機板", "記憶體", "硬碟 1TB SSD", "電源 850W",
+        "螢幕 27吋", "鍵盤", "滑鼠", "處理器", "散熱器", "機殼", "華擎 B850",
+        "Intel i7", "ryzen 5", "storage box", "power cable", "", "豪華配件",
+    ]
+    indicators = [
+        "套裝", "組合", "搭機", "限搭", "mpk", "水冷獸", "平台", "含", "附",
+        "筆電", "laptop", "旗艦組", "",
+    ]
+    quantities = ["2件", "3組", "10套", "第2件", "兩件", "雙螢幕組合", "三卡組合", ""]
+
+    names = []
+    for _ in range(400):
+        parts = [
+            rng.choice(brands), rng.choice(models), rng.choice(suffixes),
+            rng.choice(tails), rng.choice(indicators), rng.choice(quantities),
+        ]
+        rng.shuffle(parts)
+        names.append(" ".join(p for p in parts if p).strip())
+    # hand-picked branch pins (incl. the r2 VERDICT's concrete example)
+    names += [
+        "SAPPHIRE PULSE RX 7800 XT + 金士頓 DDR5 16G",
+        "SAPPHIRE NITRO+ RX 9070 XT",
+        "NITRO+ 記憶體超頻包",
+        "RTX 4090 + PSU + 機殼",
+        "B650M 主機板 + i5",
+        "螢幕支架+",
+        "ASRock X870 Taichi+",
+        "第3件五折",
+        "雙 27吋 組合",
+        "",
+        "單卡 RX 9070",
+    ]
+
+    expected = [bool(ref_is_bundle(n)) for n in names]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = [
+        r[0]
+        for r in df.select(P.autobuy_is_bundle(F.col("name")).alias("b"))
+        .collect()
+    ]
+    mismatches = [
+        (n, g, e) for n, g, e in zip(names, got, expected) if g != e
+    ]
+    assert not mismatches, mismatches[:10]

@@ -17,14 +17,9 @@ def _vals(spark, fn, inputs):
 
 
 def _load_reference_price_formatter():
-    import importlib.util
+    from .refsource import load_module
 
-    spec = importlib.util.spec_from_file_location(
-        "ref_price_formatter", "/root/reference/app/utils/price_formatter.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.PriceFormatter
+    return load_module("app/utils/price_formatter.py").PriceFormatter
 
 
 def test_price_functions_fuzz_parity_with_reference(spark):

@@ -6,7 +6,6 @@ aggregations, pagination, and query cache."""
 from __future__ import annotations
 
 import datetime
-import importlib.util
 
 import pytest
 from pyspark.sql import functions as F
@@ -28,13 +27,9 @@ from price_crawler_spark.sources.synthetic import CATALOG
 
 
 def _load_reference_matcher():
-    spec = importlib.util.spec_from_file_location(
-        "ref_product_matcher",
-        "/root/reference/app/utils/product_matcher.py",
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.ProductMatcher()
+    from .refsource import load_module
+
+    return load_module("app/utils/product_matcher.py").ProductMatcher()
 
 
 QUERIES = ["RTX 4090", "RX 9070", "i9-14900K", "32GB DDR5", "5080", "rtx", "藍寶石"]
