@@ -66,6 +66,86 @@ def ua_for_url_py(url: str) -> str:
     h = int(hashlib.md5(url.encode("utf-8")).hexdigest()[:12], 16)
     return USER_AGENTS[h % len(USER_AGENTS)]
 
+# ---------------------------------------------------------------------------
+# S1 live transport seam (env-gated; base_scraper.py:60-95 parity)
+# ---------------------------------------------------------------------------
+# Setting PCS_LIVE_TRANSPORT=1 swaps the synthetic transport for a real
+# requests-based body: one Session per host group (the applyInPandas batch
+# IS a host group), per-URL deterministic UA header (S2), timeout (C5),
+# retry ≤ MAX_RETRIES with uniform(1, 2*REQUEST_DELAY) backoff (C3/C4), and
+# the utf-8→big5→gb2312→ignore decode chain. The sandbox has no network (and
+# no requests install is attempted unless the flag is set), so the live path
+# is exercised by unit tests through a mocked session object.
+
+LIVE_TRANSPORT_ENV = "PCS_LIVE_TRANSPORT"
+MAX_RETRIES = 2          # config.py:17
+REQUEST_DELAY = 1.0      # config.py:16
+TIMEOUT_SECONDS = 15.0   # config.py:18
+DEFAULT_HEADERS = {
+    # base_scraper.py:32-40 (minus UA, which is per-URL)
+    "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+    "Accept-Language": "zh-TW,zh;q=0.8,en-US;q=0.5,en;q=0.3",
+    "Accept-Encoding": "gzip, deflate",
+    "Connection": "keep-alive",
+    "Upgrade-Insecure-Requests": "1",
+}
+
+
+def decode_body(raw: bytes) -> str:
+    """Encoding fallback chain (base_scraper.py:74-86): utf-8 → big5 →
+    gb2312 → utf-8 with errors ignored."""
+    for enc in ("utf-8", "big5", "gb2312"):
+        try:
+            return raw.decode(enc)
+        except UnicodeDecodeError:
+            continue
+    return raw.decode("utf-8", errors="ignore")
+
+
+def live_fetch_url(
+    session,
+    url: str,
+    *,
+    timeout: float = TIMEOUT_SECONDS,
+    max_retries: int = MAX_RETRIES,
+    request_delay: float = REQUEST_DELAY,
+    sleep=None,
+    rand_uniform=None,
+) -> str | None:
+    """One live GET with the reference's retry/backoff/decode semantics
+    (base_scraper.py:60-95): ``max_retries`` attempts total, a
+    ``uniform(1, 2*request_delay)`` sleep before every retry, HTTP 200 →
+    decoded body, non-200 or exception → next attempt, exhausted → None.
+    ``sleep``/``rand_uniform`` are injectable for deterministic tests."""
+    import random
+    import time
+
+    sleep = time.sleep if sleep is None else sleep
+    rand_uniform = random.uniform if rand_uniform is None else rand_uniform
+    headers = {**DEFAULT_HEADERS, "User-Agent": ua_for_url_py(url)}
+    for attempt in range(max_retries):
+        try:
+            if attempt > 0:
+                sleep(rand_uniform(1, request_delay * 2))
+            resp = session.get(url, headers=headers, timeout=timeout)
+            if resp.status_code == 200:
+                return decode_body(resp.content)
+            # non-200: fall through to the next attempt (base_scraper.py:88-89)
+        except Exception:
+            if attempt == max_retries - 1:
+                return None
+    return None
+
+
+def live_session():
+    """One Session per host group — the distributed analogue of the
+    reference's per-host TCPConnector pool (base_scraper.py:43-48).
+    Import-guarded: ``requests`` is only needed when the live flag is on."""
+    import requests
+
+    return requests.Session()
+
+
 _EXTRA_FIELDS = [
     T.StructField("ok", T.BooleanType(), False),
     T.StructField("spans_json", T.StringType(), True),
@@ -87,14 +167,34 @@ def fetch_scheduled(sched: DataFrame) -> DataFrame:
 
     def _fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         # Politeness order within the host (reference fetches sequentially
-        # per host; crawl_delay sleeping happens here in live mode). In live
-        # mode each request sends ``ua_for_url_py(url)`` as its UA header
-        # (S2) — computed here from the url already in the batch, never
-        # shipped as an extra Arrow column through the hot path.
+        # per host; crawl_delay sleeping happens on the live path). Each live
+        # request sends ``ua_for_url_py(url)`` as its UA header (S2) —
+        # computed inside :func:`live_fetch_url` from the url already in the
+        # batch, never shipped as an extra Arrow column through the hot path.
+        import os
+
         pdf = pdf.sort_values(["priority", "seq_key"]).reset_index(drop=True)
+        live = os.environ.get(LIVE_TRANSPORT_ENV) == "1"
+        session = live_session() if live else None
         oks, spans_js, links_js = [], [], []
         for url, store, attempts in zip(pdf["url"], pdf["store"], pdf["attempts"]):
-            _ua = ua_for_url_py(url)  # live transport: headers={'User-Agent': _ua}
+            if live:
+                # live seam: raw body becomes one ('html', body) span; the
+                # P1 spans emitter (lxml batch parse) is the documented
+                # downstream step that turns it into typed spans.
+                body = live_fetch_url(session, url)
+                oks.append(body is not None)
+                spans_js.append(
+                    None
+                    if body is None
+                    else json.dumps(
+                        [{"kind": "html", "text": body, "media_ref": None,
+                          "offset": 0}],
+                        ensure_ascii=False,
+                    )
+                )
+                links_js.append(None if body is None else "[]")
+                continue
             if fetch_fails(url, int(attempts)):
                 oks.append(False)
                 spans_js.append(None)

@@ -135,12 +135,19 @@ def card_products(docs: DataFrame) -> DataFrame:
     sapphire_element = F.concat_ws(
         " ", F.col("name_raw"), F.col("stock_text"), F.col("button_text")
     )
+    # D3 (pchome.py:166-189): the reference scans the OOS regex over every
+    # text node of the card — name, price, stock AND button — and defaults
+    # to in-stock when no text matches (so a null stock span is True, and
+    # 補貨中/停產/暫不供貨 cards are False; ADVICE r2 medium).
+    pchome_card_texts = F.array(
+        F.col("name_raw"), F.col("price_text"), F.col("stock_text"),
+        F.col("button_text"),
+    )
     in_stock = (
         F.when(F.col("store") == "dtsource", base_stock & P.dtsource_in_stock(name))
-        # D3: pchome ANDs the buy-button state in (pchome.py:166-189)
         .when(
             F.col("store") == "pchome",
-            base_stock & P.buy_button_in_stock(F.col("button_text")),
+            P.pchome_in_stock(pchome_card_texts, F.col("button_text")),
         )
         .when(
             F.col("store") == "sapphire",
@@ -224,22 +231,29 @@ def sinya_extract_price_int(price_text: F.Column) -> F.Column:
     )
 
 
-def sinya_html_fallback_products(docs: DataFrame) -> DataFrame:
+def sinya_html_fallback_products(
+    docs: DataFrame, json_products: DataFrame | None = None
+) -> DataFrame:
     """P7 (sinya.py:138-200): backup HTML card parse, used ONLY for sinya
-    pages whose embedded-JSON parse yielded nothing (no ``const results``
-    span). Name from the title-ish element, price via sinya's integer
+    pages whose embedded-JSON parse (P5) yielded ZERO products — the
+    reference falls back whenever the parsed list comes back empty
+    (sinya.py:29-136), which covers a missing ``const results`` span, a
+    present-but-empty ``const results = [];``, and malformed JSON alike
+    (ADVICE r2). Gate = left-anti join on the doc_ids that DID produce
+    JSON rows (both sides keyed by doc_id; Catalyst/AQE picks the join
+    strategy). Name from the title-ish element, price via sinya's integer
     extraction, url absolutized against the sinya base, availability
     defaults 有庫存, and rows survive only with a name AND price > 0
-    (sinya.py:181-190)."""
-    has_json = F.exists(
-        "spans",
-        lambda s: (s.getField("kind") == F.lit("json"))
-        & F.coalesce(
-            s.getField("text").contains("const results"), F.lit(False)
-        ),
-    )
+    (sinya.py:181-190).
+
+    ``json_products`` lets :func:`extract_products` reuse its already-built
+    P5 DataFrame instead of re-deriving it."""
+    sinya_docs = docs.filter(F.col("store") == "sinya")
+    if json_products is None:
+        json_products = sinya_products(docs)
+    parsed_ids = json_products.select("doc_id").distinct()
     s = _spans(
-        docs.filter(F.col("store") == "sinya").filter(~has_json)
+        sinya_docs.join(parsed_ids, "doc_id", "left_anti")
     ).filter(F.col("kind").isin("title", "price", "link"))
     s = _title_grouped(s)
 
@@ -633,11 +647,15 @@ def extract_products(docs: DataFrame, enrich_details: bool = True) -> DataFrame:
                          bundle-only marker are removed entirely
                          (dtsource.py:150-153)
     """
+    sinya_json = sinya_products(docs, with_state=True)
     base = (
         coolpc_products(docs)
         .unionByName(card_products(docs))
-        .unionByName(sinya_products(docs, with_state=True), allowMissingColumns=True)
-        .unionByName(sinya_html_fallback_products(docs), allowMissingColumns=True)
+        .unionByName(sinya_json, allowMissingColumns=True)
+        .unionByName(
+            sinya_html_fallback_products(docs, json_products=sinya_json),
+            allowMissingColumns=True,
+        )
         .unionByName(sunfar_products(docs), allowMissingColumns=True)
     )
     if not enrich_details:

@@ -89,8 +89,13 @@ def similarity(search_term: str, product_name: str) -> float:
     sn = normalize_term(search_term)
     pn = normalize_term(product_name)
 
+    # reference quirk: `"" in pn` is True, so an empty/whitespace query
+    # scores direct=0.3 against any non-empty name (product_matcher.py:88-92).
+    # The reference raises ZeroDivisionError when BOTH sides normalize to ""
+    # (len(pn)==0); a UDF can't usefully crash per-row, so that degenerate
+    # cell scores 0.0 here — extraction never emits empty names.
     direct = 0.0
-    if sn and sn in pn:
+    if sn in pn and pn:
         direct = 0.3 + (len(sn) / len(pn)) * 0.4
 
     basic = SequenceMatcher(None, sn, pn).ratio()

@@ -102,6 +102,28 @@ def buy_button_in_stock(button_text: Column | str, oos_re: str = PCHOME_BUTTON_O
     )
 
 
+# D3 (pchome, full) — pchome._check_stock_status (pchome.py:166-189): the
+# OOS regex is scanned over EVERY text node of the card container (any hit
+# → out of stock), then the buy-button text/disabled check; a card with no
+# stock text at all defaults to IN stock (the reference returns True when
+# find_all comes back empty).
+PCHOME_OOS_TEXT_RE = (
+    r"(?i)缺貨|售完|補貨中|暫停供應|停產|預購|無庫存|out.*stock|sold.*out|暫不供貨"
+)
+
+
+def pchome_in_stock(card_texts: Column, button_text: Column | str) -> Column:
+    """``card_texts``: array<string> of the card's text nodes (title, price,
+    stock, button, …). The reference matches the regex per text node
+    (``container.find_all(text=...)``), so this ``exists`` over the array
+    rather than concatenating — a concat could fabricate cross-node
+    ``out.*stock`` matches the reference can't see."""
+    oos = F.exists(
+        card_texts, lambda t: t.isNotNull() & t.rlike(PCHOME_OOS_TEXT_RE)
+    )
+    return ~oos & buy_button_in_stock(button_text)
+
+
 # D6 — Sapphire element-level stock (sapphire.py:529-563): OOS indicators
 # first, then in-stock indicators, then price-presence fallback, default
 # 需確認庫存; only 有庫存 maps to in_stock=True.

@@ -80,6 +80,52 @@ def search(
     )
 
 
+# ---- cache-hit refiltering (J4, main.py:173-188) -------------------------------
+
+# cached rows = the relevance-filtered products incl. their similarity score
+# and the deterministic seq tie-break (so a re-sort on a hit reproduces the
+# reference's stable ordering).
+_CACHED_RESULT_SCHEMA = (
+    "store string, product_name string, price double, url string, "
+    "in_stock boolean, currency string, image_url string, "
+    "specifications string, is_bundle boolean, doc_id string, seq string, "
+    "similarity_score double"
+)
+
+
+def result_payload(df: DataFrame) -> str:
+    """Serialize a relevance-filtered search result for ``QueryCache.set``.
+    Driver-side by design: the reference caches the whole SearchResult dict
+    (cache.py:70-74), which is UI-sized by the per-store caps (O3)."""
+    import json
+
+    cols = [f.split()[0] for f in _CACHED_RESULT_SCHEMA.split(", ")]
+    rows = [r.asDict() for r in df.select(*cols).collect()]
+    return json.dumps(rows, ensure_ascii=False)
+
+
+def search_cached(
+    spark: SparkSession,
+    payload: str,
+    sort_by: str = "price",
+    order: str = "asc",
+    in_stock_only: bool = False,
+    min_price: float | None = None,
+    max_price: float | None = None,
+) -> DataFrame:
+    """Cache-HIT path parity (main.py:173-188): the reference re-applies
+    ``apply_filters_and_sort`` — with the CURRENT request's sort/filter
+    params — to the cached rows and returns them without re-crawling or
+    re-scoring (similarity_score rides along from the cached payload)."""
+    import json
+
+    rows = json.loads(payload)
+    df = spark.createDataFrame(rows, schema=_CACHED_RESULT_SCHEMA)
+    return apply_filters_and_sort(
+        df, sort_by, order, in_stock_only, min_price, max_price
+    )
+
+
 # ---- aggregations (A1-A5) ----------------------------------------------------
 
 def price_stats(df: DataFrame) -> DataFrame:

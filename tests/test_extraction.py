@@ -633,23 +633,35 @@ def test_sinya_html_fallback(spark):
             0,
         )
     ]
+    # present-but-EMPTY JSON + html cards: the reference parses zero
+    # products from the JSON and falls back to HTML (sinya.py:29-136) —
+    # r2 gated on span absence and missed this page (ADVICE r2)
+    empty_json_spans = [
+        ("json", "const results = [];", None, 0),
+        ("title", "空JSON備援卡", None, 1),
+        ("price", "$1,500", None, 2),
+        ("link", None, "/product/777", 3),
+    ]
     docs = spark.createDataFrame(
         [
             ("https://html-page", html_spans, "sinya", 0, 0),
             ("https://json-page", json_spans, "sinya", 0, 1),
+            ("https://empty-json-page", empty_json_spans, "sinya", 0, 2),
         ],
         DOCUMENTS_SCHEMA,
     ).withColumn("seq_key", F.col("doc_id"))
     out = sinya_html_fallback_products(docs).orderBy("seq").collect()
     assert [(r.product_name, r.price, r.url) for r in out] == [
+        ("空JSON備援卡", 1500.0, "https://www.sinya.com.tw/product/777"),
         ("RTX 4090 白色特別版", 45900.0, "https://www.sinya.com.tw/product/123"),
         ("另一卡", 12000.0, "https://abs.example.com/p9"),
     ]
     assert all(r.in_stock for r in out)
-    # unified view: JSON page parses via P5, HTML page via P7 — no overlap
+    # unified view: JSON page parses via P5, HTML/empty-JSON pages via P7 —
+    # no overlap, no double-parse
     prods = extract_products(docs, enrich_details=False)
     by_name = {r.product_name for r in prods.filter("store='sinya'").collect()}
-    assert by_name == {"RTX 4090 白色特別版", "另一卡", "JSON卡"}
+    assert by_name == {"RTX 4090 白色特別版", "另一卡", "JSON卡", "空JSON備援卡"}
 
 
 def test_ua_rotation_deterministic_and_spread(spark):
@@ -798,3 +810,32 @@ def test_autobuy_bundle_fuzz_parity_with_reference(spark):
         (n, g, e) for n, g, e in zip(names, got, expected) if g != e
     ]
     assert not mismatches, mismatches[:10]
+
+
+def test_pchome_stock_reference_truth_table(spark):
+    """D3 full parity (pchome.py:166-189): any card text node matching the
+    OOS regex → False; no stock text at all → True (the reference returns
+    True when find_all is empty); buy-button text/disabled still ANDs in."""
+    cases = [
+        # (name, stock_text, button_text, expected)
+        ("RTX 4090", "現貨供應", "加入購物車", True),
+        ("RTX 4090", "補貨中", "加入購物車", False),      # r2 bug: was True
+        ("RTX 4090", None, "加入購物車", True),            # r2 bug: was False
+        ("RTX 4090", None, None, True),
+        ("RTX 4090 預購", None, "加入購物車", False),      # name node matches
+        ("RTX 4090", "暫不供貨", None, False),
+        ("RTX 4090", "停產", None, False),
+        ("RTX 4090", "Sold Out", None, False),
+        ("RTX 4090", "item out of stock", None, False),
+        ("RTX 4090", "現貨供應", "buy DISABLED", False),   # disabled button
+        ("RTX 4090", "現貨供應", "補貨通知", False),       # button 補貨
+    ]
+    df = spark.createDataFrame(cases, "name string, st string, btn string, exp boolean")
+    got = df.select(
+        P.pchome_in_stock(
+            F.array(F.col("name"), F.col("st"), F.col("btn")), F.col("btn")
+        ).alias("got"),
+        "exp", "name", "st", "btn",
+    ).collect()
+    bad = [(r.name, r.st, r.btn, r.got, r.exp) for r in got if r.got != r.exp]
+    assert not bad, bad

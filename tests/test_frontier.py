@@ -388,3 +388,83 @@ def test_sharded_cuckoo_insert_delete_probe(spark):
         for r in ck.insert(df.repartition(13), None).collect()
     )
     assert t_a == t_b
+
+
+def test_live_transport_seam_mocked_session():
+    """S1/S2/C4/C5 live-path semantics without network (base_scraper.py:60-95
+    parity): retry count, backoff bounds, UA header, timeout param, the
+    utf-8→big5→gb2312→ignore decode chain, and non-200 retry."""
+    from price_crawler_spark.frontier.fetch import (
+        DEFAULT_HEADERS,
+        decode_body,
+        live_fetch_url,
+        ua_for_url_py,
+    )
+
+    class Resp:
+        def __init__(self, status_code, content=b""):
+            self.status_code = status_code
+            self.content = content
+
+    class MockSession:
+        def __init__(self, script):
+            self.script = list(script)  # each item: Resp or Exception
+            self.calls = []
+
+        def get(self, url, headers=None, timeout=None):
+            self.calls.append({"url": url, "headers": headers, "timeout": timeout})
+            nxt = self.script.pop(0)
+            if isinstance(nxt, Exception):
+                raise nxt
+            return nxt
+
+    sleeps = []
+
+    # 200 first try: one call, UA + default headers + timeout forwarded
+    s = MockSession([Resp(200, "現貨 NT$1,234".encode("utf-8"))])
+    body = live_fetch_url(s, "https://shop.example/p?id=1", sleep=sleeps.append)
+    assert body == "現貨 NT$1,234"
+    assert len(s.calls) == 1 and not sleeps
+    call = s.calls[0]
+    assert call["timeout"] == 15.0  # C5 (config.py:18)
+    assert call["headers"]["User-Agent"] == ua_for_url_py("https://shop.example/p?id=1")
+    for k, v in DEFAULT_HEADERS.items():
+        assert call["headers"][k] == v
+
+    # exception then 200: exactly MAX_RETRIES=2 attempts, one backoff sleep
+    # inside uniform(1, 2*REQUEST_DELAY) bounds (base_scraper.py:67-70)
+    s = MockSession([ConnectionError("boom"), Resp(200, b"ok")])
+    body = live_fetch_url(
+        s, "https://shop.example/p?id=2",
+        sleep=sleeps.append, rand_uniform=lambda a, b: (a + b) / 2,
+    )
+    assert body == "ok" and len(s.calls) == 2
+    assert sleeps == [(1 + 2.0) / 2]
+
+    # persistent failure: None after MAX_RETRIES, never a third call
+    s = MockSession([ConnectionError("a"), ConnectionError("b"), Resp(200, b"no")])
+    assert live_fetch_url(s, "https://x/1", sleep=lambda _t: None) is None
+    assert len(s.calls) == 2
+
+    # non-200 retries too, then succeeds
+    s = MockSession([Resp(503), Resp(200, b"late ok")])
+    assert live_fetch_url(s, "https://x/2", sleep=lambda _t: None) == "late ok"
+
+    # encoding chain: big5 bytes that are invalid utf-8
+    big5 = "現貨供應中".encode("big5")
+    assert decode_body(big5) == "現貨供應中"
+    assert decode_body("已售完".encode("utf-8")) == "已售完"
+    assert decode_body(b"\xff\xfe\xfd") == b"\xff\xfe\xfd".decode("utf-8", "ignore")
+
+
+def test_live_transport_env_gate(spark, tmp_path):
+    """PCS_LIVE_TRANSPORT=0/absent keeps the synthetic transport: the fetch
+    stage never imports requests (absent in this sandbox) and produces the
+    synthetic spans."""
+    import os
+
+    from price_crawler_spark.frontier.fetch import LIVE_TRANSPORT_ENV
+
+    assert os.environ.get(LIVE_TRANSPORT_ENV) != "1"
+    # the standard frontier tests above already exercise fetch_scheduled on
+    # the synthetic path; this pins the gate's default

@@ -39,7 +39,10 @@ def test_similarity_parity_with_reference():
     """Engine similarity() must equal the reference's calculate_similarity
     on every (query, catalog-name) pair."""
     ref = _load_reference_matcher()
-    for q in QUERIES:
+    # "" / "  " pin the reference's `"" in pn` quirk: an empty/whitespace
+    # query direct-scores 0.3 against every non-empty name (J1 edge, r2
+    # VERDICT item 5).
+    for q in QUERIES + ["", "  "]:
         for name, _p, _s in CATALOG:
             expected = ref.calculate_similarity(q, name)
             got = matcher.similarity(q, name)
@@ -220,3 +223,35 @@ def test_export_csv(spark, products, tmp_path):
     back = spark.read.option("header", True).csv(out)
     assert back.count() == products.count()
     assert set(back.columns) == set(products.columns)
+
+
+def test_cache_hit_refiltering(spark, products):
+    """J4 cache-hit path (main.py:173-188): a hit re-applies
+    apply_filters_and_sort with the CURRENT request's params to the cached
+    rows — no crawl, no similarity recompute (the hit plan carries no
+    Arrow/Python UDF node)."""
+    from price_crawler_spark.operators.search import (
+        result_payload,
+        search,
+        search_cached,
+    )
+
+    first = search(products, "RTX 4090", sort_by="price", order="asc")
+    payload = result_payload(first)
+
+    # same params → identical rows
+    again = search_cached(spark, payload, sort_by="price", order="asc")
+    assert again.collect() == first.collect()
+
+    # different sort + stock filter → re-filtered/re-sorted cached rows
+    refiltered = search_cached(
+        spark, payload, sort_by="price", order="desc", in_stock_only=True
+    )
+    rows = refiltered.collect()
+    base = [r for r in first.collect() if r["in_stock"]]
+    assert sorted(rows, key=lambda r: (-r["price"], r["seq"])) == rows
+    assert {r["product_name"] for r in rows} == {r["product_name"] for r in base}
+
+    # the hit plan must not re-run the similarity UDF
+    plan = refiltered._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
