@@ -71,8 +71,17 @@ def frontier_throughput(spark, sf_dir: str) -> tuple[int, float]:
 
     from price_crawler_spark.functions.urls import (
         canonicalize_with_host,
+        canonicalize_with_host_arrow,
         url_hash,
     )
+
+    # A/B seam (VERDICT r2 item 2b): 'expr' = the codegen regexp chain,
+    # 'arrow' = the pandas-UDF batch canonicalizer. Same output (pytest
+    # parity-gated); BASELINE.md records the measured winner.
+    canon_impl = {
+        "expr": canonicalize_with_host,
+        "arrow": canonicalize_with_host_arrow,
+    }[os.environ.get("SPARK_GRAFT_CANON_IMPL", "expr")]
 
     n_part = spark.sparkContext.defaultParallelism * 2
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -107,7 +116,7 @@ def frontier_throughput(spark, sf_dir: str) -> tuple[int, float]:
 
     t0 = time.time()
     canon = (
-        raw.select(canonicalize_with_host("url").alias("c"), "o_totalprice")
+        raw.select(canon_impl("url").alias("c"), "o_totalprice")
         .select("c.canonical_url", "c.host", "o_totalprice")
         .withColumn("url_hash", url_hash("canonical_url"))
     )

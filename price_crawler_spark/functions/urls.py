@@ -112,6 +112,115 @@ def canonicalize_url(col: Column | str) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batch variant of the canonicalizer (A/B alternative to the expression
+# chain above; same algorithm, same output — parity is pytest-gated against
+# both the Column chain and the pure-Python mirror in tests/oracle_crawler.py)
+# ---------------------------------------------------------------------------
+#
+# Why it exists: the ~15-step regexp_replace/regexp_extract chain is the
+# frontier hot path's bandwidth hog (each step materializes a new UTF8String
+# in the JVM heap; 19M URLs × 15 passes = GC + memory-bus pressure that caps
+# single-box N→4N scaling). This variant ships each partition to a Python
+# worker ONCE over Arrow, canonicalizes with str slicing + 3 precompiled
+# regexes (each applied only on the rare rows that need them), and returns
+# the (canonical_url, host) struct in one batch. Python workers are separate
+# processes, so the work also escapes the single shared JVM heap — on a real
+# cluster either form scales; on one box this one scales measurably better
+# (A/B numbers in BASELINE.md).
+
+import re as _re
+
+_SCHEME_RE = _re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
+_HOSTDOTS_RE = _re.compile(r"\.+(:\d*)?$")
+_SLASHRUN_RE = _re.compile(r"/{2,}")
+_PORT_RE = _re.compile(r":\d+$")
+
+
+def _canon_pair_py(url):
+    """(canonical_url, bare_host) — algorithm identical to
+    :func:`canonicalize_with_host`, step numbers from the module docstring."""
+    if url is None:
+        return None, None
+    u = url.strip()
+    h = u.find("#")  # 1. strip fragment
+    if h != -1:
+        u = u[:h]
+    m = _SCHEME_RE.match(u)
+    if m:  # 2. lowercase scheme
+        scheme = m.group(1).lower()
+        rest = u[m.end():]
+    else:
+        scheme = ""
+        rest = u
+    cut = len(rest)
+    i = rest.find("/")
+    if i != -1:
+        cut = i
+    i = rest.find("?")
+    if i != -1 and i < cut:
+        cut = i
+    hostport = rest[:cut].lower()
+    tail = rest[cut:]
+    qi = tail.find("?")
+    if qi == -1:
+        path, qs = tail, ""
+    else:
+        path, qs = tail[:qi], tail[qi + 1:]
+    # 3. trailing host dots + default ports (regex only when plausibly needed)
+    host = _HOSTDOTS_RE.sub(r"\1", hostport) if "." in hostport else hostport
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    # 4. collapse duplicate slashes; '' → '/'; strip trailing slash
+    if "//" in path:
+        path = _SLASHRUN_RE.sub("/", path)
+    if path == "":
+        path = "/"
+    elif path != "/" and path.endswith("/"):
+        path = path[:-1]
+    # 5./6. drop tracking + empty params, sort bytewise
+    if qs:
+        kept = []
+        for p in qs.split("&"):
+            if not p:
+                continue
+            name = p.partition("=")
+            if name[1] and (
+                name[0].startswith("utm_") or name[0] in ("fbclid", "gclid", "ref")
+            ):
+                continue
+            kept.append(p)
+        kept.sort()
+        qsn = "&".join(kept)
+    else:
+        qsn = ""
+    canonical = f"{scheme}://{host}{path}" + (f"?{qsn}" if qsn else "")
+    bare_host = _PORT_RE.sub("", host)
+    return canonical, bare_host
+
+
+def canonicalize_with_host_arrow(col: Column | str) -> Column:
+    """Arrow-batch (pandas UDF) twin of :func:`canonicalize_with_host`.
+
+    Same output struct, same algorithm; see the block comment above for when
+    to prefer it. Declared lazily so importing this module never forces a
+    pandas import on executors that don't use it.
+    """
+    import pandas as pd  # noqa: F401 (documenting the runtime dependency)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("canonical_url string, host string")
+    def _canon_udf(urls):
+        import pandas as pd
+
+        pairs = [_canon_pair_py(u) for u in urls]
+        return pd.DataFrame(pairs, columns=["canonical_url", "host"])
+
+    return _canon_udf(_col(col))
+
+
 DUCKDB_CANONICAL_CTE = r"""
 canon_base AS (
     SELECT *, regexp_replace(trim({url_expr}), '#.*$', '') AS _u

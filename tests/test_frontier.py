@@ -73,6 +73,43 @@ def test_property_canonicalizer_parity(spark):
     assert got == expected
 
 
+def test_canonicalizer_arrow_variant_parity(spark):
+    """The Arrow-batch canonicalizer (bench A/B fast path) must emit the
+    exact (canonical_url, host) struct of the expression chain on the same
+    400 adversarial combinations plus bench-shaped frontier URLs."""
+    import random
+
+    from price_crawler_spark.functions.urls import (
+        canonicalize_with_host,
+        canonicalize_with_host_arrow,
+    )
+
+    rng = random.Random(13)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp"]
+    hosts = ["Shop.Example.COM", "a.b.c", "X9.example.com.", "localhost"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "//a//b", "/a/b/", "/a.b/c", "/x%20y", "///"]
+    qs = ["", "?a=1", "?utm_source=x", "?b=2&a=1&utm_campaign=z&ref=r",
+          "?a=1&a=0", "?fbclid=42&z=9"]
+    frags = ["", "#f", "#a/b?c=1"]
+    cases = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(qs) + rng.choice(frags)
+        for _ in range(400)
+    ] + [
+        f"https://Shop{i % 64}.example.com/item/{i}?a=1&utm_source=v{i}&b={i % 4}"
+        for i in range(100)
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    expr_rows = df.select(canonicalize_with_host("u").alias("c")).select(
+        "c.canonical_url", "c.host"
+    ).collect()
+    arrow_rows = df.select(canonicalize_with_host_arrow("u").alias("c")).select(
+        "c.canonical_url", "c.host"
+    ).collect()
+    assert [tuple(r) for r in arrow_rows] == [tuple(r) for r in expr_rows]
+
+
 def test_crawl_order_matches_reference_oracle(crawl, oracle):
     got = [
         (r["wave"], r["seq_key"], r["doc_id"], r["store"])
