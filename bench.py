@@ -77,11 +77,14 @@ def frontier_throughput(spark, sf_dir: str) -> tuple[int, float]:
 
     # A/B seam (VERDICT r2 item 2b): 'expr' = the codegen regexp chain,
     # 'arrow' = the pandas-UDF batch canonicalizer. Same output (pytest
-    # parity-gated); BASELINE.md records the measured winner.
+    # parity-gated). Measured head-to-head (19.2M URLs, best-of-3, same box):
+    # expr 407k/s @8c, 1.01M/s @32c; arrow 826k/s @8c, 1.92M/s @32c — the
+    # Arrow batch halves the canonicalize cost at BOTH widths, so it is the
+    # default; full table in BASELINE.md.
     canon_impl = {
         "expr": canonicalize_with_host,
         "arrow": canonicalize_with_host_arrow,
-    }[os.environ.get("SPARK_GRAFT_CANON_IMPL", "expr")]
+    }[os.environ.get("SPARK_GRAFT_CANON_IMPL", "arrow")]
 
     n_part = spark.sparkContext.defaultParallelism * 2
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

@@ -1217,6 +1217,28 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "url_canonicalize_arrow",
+    "WITH "
+    + urls.duckdb_canonical_cte(f"(SELECT {_RAW_URL_SQL} AS url FROM orders)", "url")
+    + "\nSELECT canonical_url, count(*) AS n FROM canon GROUP BY 1",
+)
+def q_url_canonicalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batch canonicalizer (the frontier hot path's production
+    variant since the r3 A/B — BASELINE.md) against the SAME DuckDB mirror
+    as `url_canonicalize`, so both implementations carry a driver-green
+    oracle row."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            urls.canonicalize_with_host_arrow(_raw_url_col()).alias("c")
+        )
+        .select(F.col("c.canonical_url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
     "url_id_extract",
     f"""SELECT o_orderkey, regexp_extract({_RAW_URL_SQL}, 'id=([^&]+)', 1) AS pid
 FROM orders""",
@@ -1766,7 +1788,8 @@ _PRIORITY = [
     "ann_cosine_topk", "ann_ivf_topk", "ann_signlsh_topk",
     "multimodal_decode", "multimodal_frame_sample", "crawl_search_demo",
     # new or semantics-changed in r3
-    "pchome_stock", "bundle_detect", "similarity_match",
+    "url_canonicalize_arrow", "pchome_stock", "bundle_detect",
+    "similarity_match",
 ]
 _DEPRIORITIZED = [
     # stable scalar rows: hash-green in both r1 and r2, code untouched since

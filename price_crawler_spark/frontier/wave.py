@@ -30,7 +30,10 @@ from price_crawler_spark.frontier.seen import (
     dedup_in_batch,
     filter_new,
 )
-from price_crawler_spark.functions.urls import canonicalize_url, url_host, url_hash
+from price_crawler_spark.functions.urls import (
+    canonicalize_with_host_arrow,
+    url_hash,
+)
 from price_crawler_spark.sources.store import SnapshotStore
 from price_crawler_spark.sources.synthetic import robots_rows
 
@@ -127,10 +130,17 @@ class CrawlRun:
         docs = docs_from_fetched(ok).withColumn("wave", F.lit(wave))
 
         children = links_from_fetched(ok).withColumn("wave", F.lit(wave + 1))
+        # Arrow-batch canonicalizer on the per-wave child expansion — the
+        # volume path at 10^10-URL scale (seeds stay on the expression chain:
+        # 7 rows/query doesn't amortize a Python worker round-trip). Output
+        # parity with canonicalize_url is pytest-gated; the crawl-order and
+        # URL-seen goldens run through this exact path.
         children = (
-            children.withColumn("canonical_url", canonicalize_url("url"))
+            children.withColumn("c", canonicalize_with_host_arrow("url"))
+            .withColumn("canonical_url", F.col("c.canonical_url"))
+            .withColumn("host", F.col("c.host"))
+            .drop("c")
             .withColumn("url_hash", url_hash("canonical_url"))
-            .withColumn("host", url_host("canonical_url"))
             .withColumn("priority", F.lit(1))
             .withColumn("attempts", F.lit(0))
             .withColumn("status", F.lit("pending"))
