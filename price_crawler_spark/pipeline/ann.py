@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from price_crawler_spark.plans.partitioning import ensure_scan_parallelism
+
 # ---------------------------------------------------------------------------
 # cosine primitives (fold order fixed: left-to-right, double precision)
 # ---------------------------------------------------------------------------
@@ -203,7 +205,7 @@ def embedding_near_pairs(
     without a trained coarse quantizer, :func:`signlsh_bucket` is the
     drop-in content-derived block key (recall < 1, like any LSH blocking).
     """
-    base = embeddings.select(
+    base = ensure_scan_parallelism(embeddings).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).alias("v"),

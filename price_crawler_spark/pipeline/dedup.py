@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from price_crawler_spark.functions.text import shingles
+from price_crawler_spark.plans.partitioning import ensure_scan_parallelism
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -143,9 +144,9 @@ def minhash_signatures(
     halves, JVM-native (no engine-portable mirror — the production choice
     when oracle replay isn't required)."""
     sh = F.array_distinct(shingles(text_col, k))
-    base = docs.select(F.col(id_col).alias("id"), sh.alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    base = ensure_scan_parallelism(docs).select(
+        F.col(id_col).alias("id"), sh.alias("sh")
+    ).filter(F.size("sh") > 0)
     if family == "fast":
         hh = F.transform(
             F.col("sh"),
@@ -317,7 +318,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     md5(token)) is ≥ 0. One explode + one groupBy — the aggregation is 32
     map-side-combinable sums, so the shuffle carries 32 ints per doc."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    ex = docs.select(
+    ex = ensure_scan_parallelism(docs).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     ).withColumn("h", F.md5("tok"))
 
@@ -428,7 +429,7 @@ def blocked_jaccard_pairs(
         sh = F.array_distinct(
             F.transform(shingles(text_col, k), lambda s: _hex_int(F.md5(s), 1))
         )
-    base = docs.select(
+    base = ensure_scan_parallelism(docs).select(
         F.col(id_col).alias("id"), *block_cols, sh.alias("sh")
     ).filter(F.size("sh") > 0).persist()
 

@@ -51,6 +51,27 @@ def salted_fetch_key(host: Column | str, url_hash: Column | str,
     return F.concat(h, F.lit("#"), salt.cast("string"))
 
 
+def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the incoming plan has fewer
+    partitions than the session's default parallelism.
+
+    Why: the dedup/ANN pipelines front-load heavy per-row map work (shingle
+    explode, 16 minhash permutations, 32 simhash bit votes, vector norms)
+    BEFORE their first shuffle, so their parallelism up to that point is the
+    scan's. A small input (one parquet file under
+    ``spark.sql.files.maxPartitionBytes`` — every test SF, or one bucket of
+    a partitioned 100 TB table after pruning) arrives as a single split and
+    pins that entire map stage to one core. At full corpus scale the scan
+    has thousands of file splits and this guard is a no-op; when it does
+    fire, the shuffle it pays moves only the skinny pre-explode input rows —
+    orders of magnitude cheaper than serializing the map stage.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def repartition_frontier(frontier: DataFrame) -> DataFrame:
     """Shuffle the frontier to its canonical layout before a wave: all URLs
     of a host bucket co-located (politeness sequencing happens per host
