@@ -484,6 +484,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from price_crawler_spark.session import get_spark
 
+    # 1-min load BEFORE we start: the per-query numbers are single-shot on a
+    # shared box (documented swing up to 3×), so every recorded bench carries
+    # its noise context. Quiesced protocol = loadavg < 4, no other Spark jobs.
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     registry = entrymod.queries()
     times: dict[str, float] = {}
@@ -515,6 +519,8 @@ def main() -> None:
         "frontier_urls": n_urls,
         "frontier_urls_per_sec": round(n_urls / crawl_dt, 1),
         "seen_path_urls_per_sec": round(n_seen / seen_dt, 1),
+        "loadavg_before": load_before,
+        "loadavg_after": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 

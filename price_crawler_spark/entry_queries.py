@@ -212,18 +212,41 @@ def q_search_term_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select("p_partkey", names.normalize_search_term(raw).alias("term"))
 
 
+_MOMO_RAW_SQL = """(CASE p_partkey % 3
+  WHEN 0 THEN '【限定】' || p_name || ' ★熱賣★ 限時特價中'
+  WHEN 1 THEN '[組合]  ' || p_name || ' ☆新品☆ 加量不加價'
+  ELSE p_name || ' ★ 限時特價 $999' END)"""
+
+
+def _momo_clean_sql(expr: str) -> str:
+    """DuckDB mirror of names.momo_clean_name (momo.py:255-268), exact
+    operation order: collapse → paired-delimiter removals → tail → strip."""
+    return f"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(
+            trim({expr}), '\\s+', ' ', 'g'),
+            '【.*?】', '', 'g'), '\\[.*?\\]', '', 'g'),
+            '★.*?★', '', 'g'), '☆.*?☆', '', 'g'),
+            '限時特價.*$', '', 'g'))"""
+
+
 @_register(
     "name_clean_momo",
-    """SELECT p_partkey,
-       trim(regexp_replace(regexp_replace(regexp_replace(
-            '【限定】' || p_name || ' ★ 限時特價中', '[【】\\[\\]★☆]', '', 'g'),
-            '限時特價.*$', '', 'g'), '\\s+', ' ', 'g')) AS name
+    f"""SELECT p_partkey, {_momo_clean_sql(_MOMO_RAW_SQL)} AS name
 FROM part""",
 )
 def q_name_clean_momo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8 (momo.py:256-268): strip 【】[]★☆ and trailing 限時特價..."""
+    """F8 (momo.py:255-268): paired 【】[]★★☆☆ segments removed WITH content,
+    lone ★ kept, trailing 限時特價… dropped — exact reference operation
+    order (collapse → pair removals → tail → strip)."""
     part = _read(spark, sf_dir, "part")
-    raw = F.concat(F.lit("【限定】"), F.col("p_name"), F.lit(" ★ 限時特價中"))
+    pk = F.col("p_partkey")
+    raw = (
+        F.when(pk % 3 == 0,
+               F.concat(F.lit("【限定】"), F.col("p_name"), F.lit(" ★熱賣★ 限時特價中")))
+        .when(pk % 3 == 1,
+              F.concat(F.lit("[組合]  "), F.col("p_name"), F.lit(" ☆新品☆ 加量不加價")))
+        .otherwise(F.concat(F.col("p_name"), F.lit(" ★ 限時特價 $999")))
+    )
     return part.select("p_partkey", names.momo_clean_name(raw).alias("name"))
 
 
@@ -1773,6 +1796,223 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P16-P18 — disabled-store parse cores (momo / sanjing / gh3c)
+# ---------------------------------------------------------------------------
+# The stores are disabled in the reference registry (main.py:49-52) so the
+# active products view excludes them; these queries oracle-check the parse
+# decision cores (name clean, price parse, stock predicate, description
+# assembly) that extraction.disabled_store_products applies at span level.
+
+_MOMO_CARD_NAME_SQL = """((CASE WHEN p_partkey % 4 = 0 THEN '【週年慶】' ELSE '' END)
+  || p_name ||
+  (CASE p_partkey % 4 WHEN 1 THEN ' ★送好禮★' WHEN 2 THEN ' 限時特價再折' ELSE '' END))"""
+_MOMO_CARD_PRICE_SQL = """(CASE p_partkey % 5
+  WHEN 0 THEN '$1,' || lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0')
+  WHEN 1 THEN 'NT$' || CAST(p_partkey % 9000 + 100 AS VARCHAR)
+  WHEN 2 THEN '價格未定' WHEN 3 THEN NULL
+  ELSE CAST(p_partkey % 500 + 1 AS VARCHAR) || '元起' END)"""
+_MOMO_CARD_STOCK_SQL = """(CASE p_partkey % 6
+  WHEN 0 THEN '缺貨中' WHEN 1 THEN '現貨不足' WHEN 2 THEN 'Sold Out'
+  WHEN 3 THEN '有庫存' ELSE NULL END)"""
+_MOMO_CARD_BTN_SQL = """(CASE p_partkey % 7
+  WHEN 0 THEN '無法購買' WHEN 1 THEN '加入購物車' WHEN 2 THEN 'buy disabled'
+  ELSE NULL END)"""
+_DIGIT_RUN_SQL = (
+    "(CASE WHEN regexp_extract(regexp_replace(coalesce({e}, ''), '[$,]', '', 'g'),"
+    " '[0-9]+') = '' THEN 0.0 ELSE CAST(regexp_extract(regexp_replace("
+    "coalesce({e}, ''), '[$,]', '', 'g'), '[0-9]+') AS DOUBLE) END)"
+)
+
+
+@_register(
+    "momo_card_parse",
+    f"""WITH c AS (SELECT p_partkey, {_MOMO_CARD_NAME_SQL} AS name_raw,
+  {_MOMO_CARD_PRICE_SQL} AS price_text, {_MOMO_CARD_STOCK_SQL} AS stock_text,
+  {_MOMO_CARD_BTN_SQL} AS btn FROM part)
+SELECT p_partkey, {_momo_clean_sql('name_raw')} AS name,
+  {_DIGIT_RUN_SQL.format(e='price_text')} AS price,
+  ((NOT ((name_raw IS NOT NULL AND regexp_matches(name_raw, '{predicates.MOMO_OOS_TEXT_RE}'))
+      OR (price_text IS NOT NULL AND regexp_matches(price_text, '{predicates.MOMO_OOS_TEXT_RE}'))
+      OR (stock_text IS NOT NULL AND regexp_matches(stock_text, '{predicates.MOMO_OOS_TEXT_RE}'))
+      OR (btn IS NOT NULL AND regexp_matches(btn, '{predicates.MOMO_OOS_TEXT_RE}'))))
+   AND (CASE WHEN btn IS NULL THEN TRUE
+             ELSE NOT regexp_matches(btn, '{predicates.MOMO_BUTTON_OOS_RE}')
+                  AND NOT contains(lower(btn), 'disabled') END)) AS in_stock
+FROM c""",
+)
+def q_momo_card_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 (momo.py:126-268): name clean (paired-delimiter removal), price =
+    first digit run default 0, stock = per-text-node OOS regex + momo's
+    button variant (無法購買) with null-button → in-stock."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    name_raw = F.concat(
+        F.when(pk % 4 == 0, F.lit("【週年慶】")).otherwise(F.lit("")),
+        F.col("p_name"),
+        F.when(pk % 4 == 1, F.lit(" ★送好禮★"))
+        .when(pk % 4 == 2, F.lit(" 限時特價再折"))
+        .otherwise(F.lit("")),
+    )
+    price_text = (
+        F.when(pk % 5 == 0,
+               F.concat(F.lit("$1,"), F.lpad((pk % 1000).cast("string"), 3, "0")))
+        .when(pk % 5 == 1, F.concat(F.lit("NT$"), (pk % 9000 + 100).cast("string")))
+        .when(pk % 5 == 2, F.lit("價格未定"))
+        .when(pk % 5 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat((pk % 500 + 1).cast("string"), F.lit("元起")))
+    )
+    stock_text = (
+        F.when(pk % 6 == 0, F.lit("缺貨中"))
+        .when(pk % 6 == 1, F.lit("現貨不足"))
+        .when(pk % 6 == 2, F.lit("Sold Out"))
+        .when(pk % 6 == 3, F.lit("有庫存"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    btn = (
+        F.when(pk % 7 == 0, F.lit("無法購買"))
+        .when(pk % 7 == 1, F.lit("加入購物車"))
+        .when(pk % 7 == 2, F.lit("buy disabled"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    card = F.array(name_raw, price_text, stock_text, btn)
+    return part.select(
+        "p_partkey",
+        names.momo_clean_name(name_raw).alias("name"),
+        prices.digit_run_price(F.coalesce(price_text, F.lit(""))).alias("price"),
+        predicates.momo_in_stock(card, btn).alias("in_stock"),
+    )
+
+
+_GH3C_NAME_SQL = "('EXCELLENT ' || p_name)"
+_GH3C_STOCK_SQL = """(CASE p_partkey % 6
+  WHEN 0 THEN '暫時缺貨' WHEN 1 THEN '現貨' WHEN 2 THEN '電洽'
+  WHEN 3 THEN 'OUT of stock' ELSE NULL END)"""
+_GH3C_BTN_SQL = """(CASE p_partkey % 5
+  WHEN 0 THEN '聯絡我們' WHEN 1 THEN '加入購物車' WHEN 2 THEN '購買 Disabled'
+  ELSE NULL END)"""
+_GH3C_FULLTEXT_SQL = """(gname || ' ' || coalesce(stock_text, '') || ' ' ||
+  coalesce(btn, '') || (CASE p_partkey % 3 WHEN 0 THEN ' NT$12,' ||
+  lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0') WHEN 1 THEN ' 8GB'
+  ELSE '' END))"""
+
+
+@_register(
+    "gh3c_stock",
+    f"""WITH c AS (SELECT p_partkey, {_GH3C_NAME_SQL} AS gname,
+  {_GH3C_STOCK_SQL} AS stock_text, {_GH3C_BTN_SQL} AS btn FROM part),
+d AS (SELECT *, {_GH3C_FULLTEXT_SQL} AS full_text FROM c)
+SELECT p_partkey, full_text,
+  ((NOT ((gname IS NOT NULL AND regexp_matches(gname, '{predicates.GH3C_OOS_TEXT_RE}'))
+      OR (stock_text IS NOT NULL AND regexp_matches(stock_text, '{predicates.GH3C_OOS_TEXT_RE}'))
+      OR (btn IS NOT NULL AND regexp_matches(btn, '{predicates.GH3C_OOS_TEXT_RE}'))))
+   AND (NOT ((gname IS NOT NULL AND regexp_matches(gname, '{predicates.GH3C_INQUIRY_RE}'))
+      OR (stock_text IS NOT NULL AND regexp_matches(stock_text, '{predicates.GH3C_INQUIRY_RE}'))
+      OR (btn IS NOT NULL AND regexp_matches(btn, '{predicates.GH3C_INQUIRY_RE}'))))
+   AND (CASE WHEN btn IS NULL THEN TRUE
+             ELSE NOT regexp_matches(btn, '{predicates.GH3C_BUTTON_OOS_RE}')
+                  AND NOT contains(lower(btn), 'disabled') END)) AS in_stock,
+  (CASE WHEN regexp_extract(regexp_replace(full_text, ',', '', 'g'), '[0-9]+') = ''
+        THEN 0.0
+        WHEN CAST(regexp_extract(regexp_replace(full_text, ',', '', 'g'), '[0-9]+') AS DOUBLE)
+             BETWEEN 100.0 AND 1000000.0
+        THEN CAST(regexp_extract(regexp_replace(full_text, ',', '', 'g'), '[0-9]+') AS DOUBLE)
+        ELSE 0.0 END) AS fallback_price
+FROM d""",
+)
+def q_gh3c_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18 (gh3c.py:124-210): stock = OOS set (+暫時缺貨) AND no inquiry
+    pricing (詢價/電洽/來電詢問) AND button check (+聯絡我們); plus the
+    no-price-element fallback scan (first digit run in [100, 1e6])."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    gname = F.concat(F.lit("EXCELLENT "), F.col("p_name"))
+    stock_text = (
+        F.when(pk % 6 == 0, F.lit("暫時缺貨"))
+        .when(pk % 6 == 1, F.lit("現貨"))
+        .when(pk % 6 == 2, F.lit("電洽"))
+        .when(pk % 6 == 3, F.lit("OUT of stock"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    btn = (
+        F.when(pk % 5 == 0, F.lit("聯絡我們"))
+        .when(pk % 5 == 1, F.lit("加入購物車"))
+        .when(pk % 5 == 2, F.lit("購買 Disabled"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    full_text = F.concat(
+        gname, F.lit(" "), F.coalesce(stock_text, F.lit("")), F.lit(" "),
+        F.coalesce(btn, F.lit("")),
+        F.when(pk % 3 == 0,
+               F.concat(F.lit(" NT$12,"), F.lpad((pk % 1000).cast("string"), 3, "0")))
+        .when(pk % 3 == 1, F.lit(" 8GB"))
+        .otherwise(F.lit("")),
+    )
+    card = F.array(gname, stock_text, btn)
+    return part.select(
+        "p_partkey",
+        full_text.alias("full_text"),
+        predicates.gh3c_in_stock(card, btn).alias("in_stock"),
+        prices.gh3c_fallback_price(full_text).alias("fallback_price"),
+    )
+
+
+_SANJING_SPECS_SQL = """list_slice(
+  ['螢幕 ' || CAST(p_partkey % 30 + 10 AS VARCHAR) || '吋',
+   '記憶體 ' || CAST(8 + p_partkey % 56 AS VARCHAR) || 'GB',
+   '硬碟 ' || CAST(p_partkey % 4 + 1 AS VARCHAR) || 'TB',
+   '保固 ' || CAST(p_partkey % 3 + 1 AS VARCHAR) || '年'],
+  1, p_partkey % 5)"""
+
+
+@_register(
+    "sanjing_card_parse",
+    f"""WITH c AS (SELECT p_partkey,
+  (CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_name END) AS name_raw,
+  'NT$' || CAST(p_partkey % 90000 + 1000 AS VARCHAR) || ' 元' AS price_text,
+  {_SANJING_SPECS_SQL} AS specs,
+  'FULL ' || p_name AS fullname FROM part)
+SELECT p_partkey,
+  coalesce(name_raw, '未知產品') AS name,
+  {_DIGIT_RUN_SQL.format(e='price_text')} AS price,
+  TRUE AS in_stock,
+  coalesce(nullif(array_to_string(list_slice(specs, 1, 3), ' | '), ''), fullname)
+    AS description
+FROM c""",
+)
+def q_sanjing_card_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 (sanjing.py:151-224): name defaults to 未知產品, price = digit
+    run, ALWAYS in stock, description = first 3 spec lines joined ' | '
+    falling back to the full-name div."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    name_raw = F.when(pk % 7 != 0, F.col("p_name"))
+    price_text = F.concat(
+        F.lit("NT$"), (pk % 90000 + 1000).cast("string"), F.lit(" 元")
+    )
+    specs = F.slice(
+        F.array(
+            F.concat(F.lit("螢幕 "), (pk % 30 + 10).cast("string"), F.lit("吋")),
+            F.concat(F.lit("記憶體 "), (pk % 56 + 8).cast("string"), F.lit("GB")),
+            F.concat(F.lit("硬碟 "), (pk % 4 + 1).cast("string"), F.lit("TB")),
+            F.concat(F.lit("保固 "), (pk % 3 + 1).cast("string"), F.lit("年")),
+        ),
+        F.lit(1),
+        pk % 5,
+    )
+    fullname = F.concat(F.lit("FULL "), F.col("p_name"))
+    desc = F.coalesce(
+        F.nullif(F.array_join(F.slice(specs, 1, 3), " | "), F.lit("")), fullname
+    )
+    return part.select(
+        "p_partkey",
+        F.coalesce(name_raw, F.lit("未知產品")).alias("name"),
+        prices.digit_run_price(price_text).alias("price"),
+        F.lit(True).alias("in_stock"),
+        desc.alias("description"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry ordering for the driver's capped correctness pass
 # ---------------------------------------------------------------------------
 # The driver verifies roughly the first 50 registry entries per round
@@ -1789,13 +2029,14 @@ _PRIORITY = [
     "multimodal_decode", "multimodal_frame_sample", "crawl_search_demo",
     # new or semantics-changed in r3
     "url_canonicalize_arrow", "pchome_stock", "bundle_detect",
-    "similarity_match",
+    "similarity_match", "name_clean_momo", "momo_card_parse",
+    "gh3c_stock", "sanjing_card_parse",
 ]
 _DEPRIORITIZED = [
     # stable scalar rows: hash-green in both r1 and r2, code untouched since
     "price_extract", "price_strict_filter", "price_format",
     "name_clean", "name_normalize", "search_term_normalize",
-    "name_clean_momo", "name_clean_coolpc", "feature_extract",
+    "name_clean_coolpc", "feature_extract",
     "dtsource_stock", "sort_by_name", "url_id_extract", "url_absolutize",
     "ua_rotation",
 ]

@@ -121,7 +121,13 @@ class CrawlRun:
         )
         sched = politeness.with_host_salt(sched, self.mega_hosts)
 
+        # persist AND materialize: the commit's five table writes run
+        # concurrently, and concurrent jobs hitting a cold cache each
+        # recompute the partition — for the fetch UDF (the wave's most
+        # expensive stage) that multiplied the cost by the number of
+        # consumers until this count().
         fetched = fetch_scheduled(sched).persist()
+        fetched.count()
         ok = fetched.filter("ok")
         failed = fetched.filter(~F.col("ok"))
 
@@ -149,9 +155,18 @@ class CrawlRun:
         children = dedup_in_batch(children)
         seen = self.store.read(self.spark, "seen")
         bloom_table = self.store.read(self.spark, "bloom")
-        new_children = filter_new(children, seen, bloom_table, self.bloom).select(
-            *FRONTIER_COLS
+        # Persist + materialize ONCE: three of the commit's concurrent table
+        # writes (frontier replace, seen append, bloom replace) consume
+        # new_children, and without a persist each would recompute the whole
+        # child pipeline — Arrow canonicalize + Bloom-probe cogroup + exact
+        # anti-join — tripling commit cost (measured: the commit dominated
+        # wave wall time and scaled NEGATIVELY with cores before this).
+        new_children = (
+            filter_new(children, seen, bloom_table, self.bloom)
+            .select(*FRONTIER_COLS)
+            .persist()
         )
+        new_children.count()
 
         done_ok = ok.select(*[c for c in FRONTIER_COLS if c != "status"]).withColumn(
             "status", F.lit("fetched")
@@ -195,6 +210,7 @@ class CrawlRun:
             meta={"next_wave": wave + 1, "queries": self.queries},
         )
         fetched.unpersist()
+        new_children.unpersist()
         return True
 
     def run(self, max_waves: int = 10) -> int:

@@ -139,8 +139,16 @@ def unescape_entities(col: Column | str) -> Column:
     return c
 
 
-# momo cleaner (momo.py:256-268): strip 【】[]★☆ and trailing 限時特價...
+# momo cleaner (momo.py:255-268). Order matters and is the reference's:
+# collapse whitespace FIRST, then remove each paired delimiter WITH its
+# enclosed content (non-greedy pairs — a lone ★ survives), then the trailing
+# 限時特價… tail, then strip. Removing a paired segment can leave an interior
+# double space; the reference does NOT re-collapse it, so neither do we.
 def momo_clean_name(col: Column | str) -> Column:
-    c = F.regexp_replace(_col(col), r"[【】\[\]★☆]", "")
+    c = F.regexp_replace(F.trim(_col(col)), r"\s+", " ")
+    c = F.regexp_replace(c, r"【.*?】", "")
+    c = F.regexp_replace(c, r"\[.*?\]", "")
+    c = F.regexp_replace(c, r"★.*?★", "")
+    c = F.regexp_replace(c, r"☆.*?☆", "")
     c = F.regexp_replace(c, r"限時特價.*$", "")
-    return collapse_spaces(c)
+    return F.trim(c)

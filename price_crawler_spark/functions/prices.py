@@ -46,3 +46,24 @@ def format_price(col: Column | str, currency: str = "TWD") -> Column:
     if currency == "TWD":
         return F.concat(F.lit("NT$ "), F.format_number(c, 0))
     return F.concat(F.format_number(c, 2), F.lit(" " + currency))
+
+
+def digit_run_price(col: Column | str) -> Column:
+    """momo.py:166-187 / sanjing.py:169-182 price parse: strip ``$`` and
+    ``,``, then the FIRST digit run; no digits → 0 (the reference's default,
+    not null). Distinct from :func:`extract_price` (F1): whitespace/NT/元
+    are NOT stripped first, so ``'第2件 $999'`` parses 2 — a reference quirk
+    kept verbatim."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.regexp_extract(F.regexp_replace(c, r"[$,]", ""), r"\d+", 0)
+    return F.when(m == "", F.lit(0.0)).otherwise(m.cast("double"))
+
+
+def gh3c_fallback_price(col: Column | str) -> Column:
+    """gh3c.py:131-143: when a card has no price element, scan the WHOLE
+    card text for its first digit run (commas stripped) and keep it only in
+    the plausible [100, 1_000_000] band; otherwise 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.regexp_extract(F.regexp_replace(c, ",", ""), r"\d+", 0)
+    p = F.when(m == "", F.lit(0.0)).otherwise(m.cast("double"))
+    return F.when((p >= 100.0) & (p <= 1000000.0), p).otherwise(F.lit(0.0))

@@ -683,3 +683,145 @@ def extract_products(docs: DataFrame, enrich_details: bool = True) -> DataFrame:
         )
     )
     return out.select(*PRODUCT_COLS)
+
+
+# ---------------------------------------------------------------------------
+# P16-P18 — disabled stores (momo / sanjing / gh3c)
+# ---------------------------------------------------------------------------
+
+DISABLED_CARD_STORES = ["momo", "sanjing", "gh3c"]
+
+
+def disabled_store_products(docs: DataFrame) -> DataFrame:
+    """P16-P18: the three stores whose constructors crash in the reference
+    registry (main.py:49-52) — momo (momo.py:78-268), sanjing
+    (sanjing.py:30-224), gh3c (gh3c.py:63-204). The reference's parse code
+    exists and works; only registration is broken, so active-registry parity
+    keeps them OUT of :func:`products` (zero rows), while this operator
+    provides the full parse for re-enablement, per-store faithful:
+
+      * momo    — name required then momo_clean_name; price = first digit
+                  run, $,-stripped, default 0 (momo.py:166-187); stock =
+                  per-text-node OOS regex + button check, default in stock
+                  (momo.py:225-253); cards whose cleaned name is empty drop.
+      * sanjing — parent-link URL required (sanjing.py:155-159: no link →
+                  row dropped); name defaults to 未知產品; price = digit run
+                  as float; ALWAYS in stock (sanjing.py:216-221);
+                  description = first 3 spec lines joined ' | ', else the
+                  full-name div (sanjing.py:194-206) → specifications.
+      * gh3c    — raw name < 3 chars drops (gh3c.py:110-112); price from
+                  the price element via the base extract_price, else the
+                  whole-card digit-run fallback in [100, 1e6]
+                  (gh3c.py:124-143); rows with price<=0 or empty cleaned
+                  name drop (gh3c.py:158-160); stock adds the inquiry-
+                  pricing check (gh3c.py:175-210).
+
+    Same shuffle shape as :func:`card_products`: one narrow per-doc window
+    to delimit items + one (doc, item) aggregation.
+    """
+    from price_crawler_spark.functions.names import clean_product_name, momo_clean_name
+    from price_crawler_spark.functions.prices import digit_run_price, gh3c_fallback_price
+
+    s = _spans(docs.filter(F.col("store").isin(DISABLED_CARD_STORES))).filter(
+        F.col("kind").isin(
+            "title", "price", "link", "image", "stock", "button", "spec", "fullname"
+        )
+    )
+    s = _title_grouped(s)
+
+    grp = s.groupBy("doc_id", "store", "seq_key", "item_idx").agg(
+        _of("title", "text").alias("name_raw"),
+        _of("price", "text").alias("price_text"),
+        _of("link", "media_ref").alias("url"),
+        _of("image", "media_ref").alias("image_url"),
+        _of("stock", "text").alias("stock_text"),
+        _of("button", "text").alias("button_text"),
+        _of("fullname", "text").alias("fullname_text"),
+        # spec lines in document order (sanjing takes the FIRST 3)
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("kind") == "spec", F.struct("offset", "text")
+                )
+            )
+        ).alias("spec_lines"),
+        F.min(F.when(F.col("kind") == "title", F.col("offset"))).alias("item_offset"),
+    )
+
+    card_texts = F.array(
+        F.col("name_raw"), F.col("price_text"), F.col("stock_text"),
+        F.col("button_text"),
+    )
+    # whole-container text for gh3c's no-price-element fallback scan
+    # (gh3c.py:131-136 does container.get_text() — document order)
+    full_text = F.concat_ws(
+        " ",
+        F.col("name_raw"), F.col("price_text"), F.col("stock_text"),
+        F.col("button_text"),
+    )
+
+    momo_name = momo_clean_name(F.col("name_raw"))
+    gh3c_name = clean_product_name(F.col("name_raw"))
+    sanjing_desc = F.coalesce(
+        F.nullif(
+            F.array_join(
+                F.slice(F.transform(F.col("spec_lines"), lambda s: s["text"]), 1, 3),
+                " | ",
+            ),
+            F.lit(""),
+        ),
+        F.col("fullname_text"),
+    )
+
+    name = (
+        F.when(F.col("store") == "momo", momo_name)
+        .when(F.col("store") == "sanjing",
+              F.coalesce(collapse_spaces(F.col("name_raw")), F.lit("未知產品")))
+        .otherwise(gh3c_name)
+    )
+    price = (
+        F.when(F.col("store") == "gh3c",
+               F.coalesce(
+                   F.when(F.col("price_text").isNotNull(),
+                          F.coalesce(extract_price(F.col("price_text")), F.lit(0.0))),
+                   gh3c_fallback_price(full_text),
+               ))
+        .otherwise(digit_run_price(F.coalesce(F.col("price_text"), F.lit(""))))
+    )
+    in_stock = (
+        F.when(F.col("store") == "momo",
+               P.momo_in_stock(card_texts, F.col("button_text")))
+        .when(F.col("store") == "sanjing", F.lit(True))
+        .otherwise(P.gh3c_in_stock(card_texts, F.col("button_text")))
+    )
+    # momo drops only when the RAW name is empty (momo.py:151-153); a name
+    # that CLEANS to '' still becomes a product. gh3c checks the cleaned
+    # name (gh3c.py:158-160).
+    keep = (
+        F.when(F.col("store") == "momo",
+               F.col("name_raw").isNotNull()
+               & (F.trim(F.col("name_raw")) != ""))
+        .when(F.col("store") == "sanjing", F.col("url").isNotNull())
+        .otherwise(
+            F.col("name_raw").isNotNull()
+            & (F.length(F.trim(F.col("name_raw"))) >= 3)
+            & (gh3c_name != "")
+        )
+    )
+    out = (
+        grp.filter(keep)
+        .withColumn("product_name", name)
+        .withColumn("price", price)
+        .withColumn("in_stock", in_stock)
+        .withColumn("currency", F.lit("TWD"))
+        .withColumn(
+            "specifications",
+            F.when(F.col("store") == "sanjing", sanjing_desc).cast("string"),
+        )
+        .withColumn("is_bundle", F.lit(False))
+        .withColumn("seq", _seq(F.col("seq_key"), F.col("item_offset")))
+    )
+    out = out.filter(
+        F.when(F.col("store") == "gh3c", F.col("price") > 0).otherwise(F.lit(True))
+    )
+    return out.select(*PRODUCT_COLS)

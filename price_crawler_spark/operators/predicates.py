@@ -459,3 +459,47 @@ def sunfar_in_stock(pos_qty: Column, buy: Column, state_no: Column, price: Colum
         .when(price.isNotNull(), price > 0)
         .otherwise(F.lit(True))
     )
+
+
+# ---------------------------------------------------------------------------
+# Disabled-store stock predicates (P16/P18). momo, sanjing, and gh3c are
+# DISABLED in the reference registry (their constructors crash —
+# main.py:49-52), so nothing wires these into the active products view;
+# they are full data parity for the day the stores are re-enabled, used by
+# extraction.disabled_store_products and its oracle queries.
+# ---------------------------------------------------------------------------
+
+# momo._check_stock_status (momo.py:225-253): OOS regex over every text node
+# (IGNORECASE), then the buy-button text/disabled check (MOMO_BUTTON_OOS_RE
+# above), default True. The reference's CSS-class signals (soldOut/outStock/
+# noStock, disabled attr) are folded into the card's ``stock`` span text by
+# the span emitter, same convention as every other card store here.
+MOMO_OOS_TEXT_RE = (
+    r"(?i)缺貨|售完|補貨中|暫停供應|停產|預購|無庫存|out.*stock|sold.*out|現貨不足"
+)
+
+
+def momo_in_stock(card_texts: Column, button_text: Column | str) -> Column:
+    """``card_texts``: array<string> of the card's text nodes. Per-node
+    regex match (``find_all(text=...)`` semantics), never a concat."""
+    oos = F.exists(card_texts, lambda t: t.isNotNull() & t.rlike(MOMO_OOS_TEXT_RE))
+    return ~oos & buy_button_in_stock(button_text, MOMO_BUTTON_OOS_RE)
+
+
+# gh3c._check_stock_status (gh3c.py:175-210): momo's OOS set plus 暫時缺貨,
+# a wider button OOS set (聯絡我們), and an inquiry-pricing check (詢價/電洽/
+# 來電詢問 anywhere in the card text → not purchasable → False).
+GH3C_OOS_TEXT_RE = (
+    r"(?i)缺貨|售完|補貨中|暫停供應|停產|預購|無庫存|out.*stock|sold.*out"
+    r"|現貨不足|暫時缺貨"
+)
+GH3C_BUTTON_OOS_RE = r"缺貨|補貨|售完|暫停|無法購買|聯絡我們"
+GH3C_INQUIRY_RE = r"詢價|電洽|來電詢問"
+
+
+def gh3c_in_stock(card_texts: Column, button_text: Column | str) -> Column:
+    oos = F.exists(card_texts, lambda t: t.isNotNull() & t.rlike(GH3C_OOS_TEXT_RE))
+    inquiry = F.exists(
+        card_texts, lambda t: t.isNotNull() & t.rlike(GH3C_INQUIRY_RE)
+    )
+    return ~oos & ~inquiry & buy_button_in_stock(button_text, GH3C_BUTTON_OOS_RE)

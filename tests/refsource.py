@@ -29,6 +29,9 @@ PINNED = {
     "app/utils/product_matcher.py": "2cc3bf9624c12c5bad5049f8f9c630f1f9c46da6a310ea48423dd7f3eb80e2c5",
     "app/scrapers/autobuy.py": "e3bf99958695167635aa60f4a328ad0ed4f3cb1f65ad091f131217acd3a8c865",
     "app/scrapers/coolpc.py": "0fee01a27db26bc7169e6f4a9d5decf6d8d19b7e90a8a1f87687c5ac9861619e",
+    "app/scrapers/momo.py": "45882d38a41957953e080d75deeb0f0566e4cfc276c8df655d6af9d7eeade01f",
+    "app/scrapers/gh3c.py": "0d50342efff5d871ce1a748bfd37f0b17dbddf7af7163a9e6ba09240bfdd43be",
+    "app/scrapers/sanjing.py": "8787f7ebb9d49099e684924ab2c454a1f9f17f8cc4b4cc0b3676bb03fe1a3fff",
 }
 
 
