@@ -110,9 +110,19 @@ def frontier_throughput(spark, sf_dir: str) -> tuple[int, float]:
                 F.lit(".example.com/item/"), (o % 10000).cast("string"),
                 F.col("suffix"),
             ).alias("url"),
+            o.alias("parent_page"),
             "o_totalprice",
         )
-        .repartition(n_part)
+        # hash-partition by the PARENT page, not round-robin: in the real
+        # wave pipeline child URLs are emitted inside their parent's
+        # partition (wave.py extract step), so a page's duplicate variants
+        # are partition-local. Round-robin scattered each order's 32-copy
+        # duplicate groups across every partition, which disabled map-side
+        # combine and doubled the dedup shuffle at 64 map partitions
+        # (932 MB written at 32c vs 485 MB at 8c for identical data —
+        # event-log metrics, tools/profile_scaling.py).
+        .repartition(n_part, F.col("parent_page"))
+        .drop("parent_page")
     )
     raw.cache()
     n_input = raw.count()  # materializes the input outside the timed window
@@ -368,6 +378,12 @@ def _scaling_pair() -> dict:
         # per-job fixed costs stop eating the 32c speedup (at 64 variants the
         # same box measures raw ~0.54-0.67; at 128, ~0.72).
         env.setdefault("SPARK_GRAFT_URL_VARIANTS", "128")
+        # sized heap + G1: a scaling measurement with an undersized heap
+        # measures the garbage collector, not the job — at 8 GiB the 32-core
+        # leg spent 50-130 summed seconds per stage in stop-the-world GC
+        # (parallelism-independent wall time), halving apparent efficiency.
+        env.setdefault("SPARK_DRIVER_MEM", "24g")
+        env.setdefault("SPARK_GRAFT_JVM_OPTS", "-XX:+UseG1GC -Xms20g")
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only"],
             env=env, capture_output=True, text=True, timeout=1800,
@@ -468,6 +484,10 @@ def run_scaling() -> None:
 
 
 def main() -> None:
+    # measured-run JVM posture (see _scaling_pair): sized G1 heap so the
+    # numbers measure the job, not the collector. Explicit env still wins.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    os.environ.setdefault("SPARK_GRAFT_JVM_OPTS", "-XX:+UseG1GC -Xms20g")
     if "--crawl-only" in sys.argv:
         run_crawl_only()
         return

@@ -201,24 +201,148 @@ def _canon_pair_py(url):
     return canonical, bare_host
 
 
+def _canon_batch_pa(arr):
+    """Vectorized (canonical_url, host) over a ``pyarrow`` string array —
+    every step is a C++ compute kernel over contiguous buffers, so per-URL
+    Python object churn is zero. Algorithm identical to
+    :func:`canonicalize_with_host` / :func:`_canon_pair_py`; parity is
+    pytest-gated against both. The only numpy round-trip is the per-batch
+    list-offset rebuild for the query-param sort (arrow has no per-list
+    sort kernel), which is O(rows), not O(bytes).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    u = pc.utf8_trim_whitespace(arr)
+    u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
+    sm = pc.extract_regex(u, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://")
+    scheme = pc.utf8_lower(
+        pc.if_else(pc.is_valid(sm), pc.struct_field(sm, "s"), "")
+    )
+    rest = pc.replace_substring_regex(
+        u, pattern=r"^[A-Za-z][A-Za-z0-9+.\-]*://", replacement=""
+    )
+    hostport = pc.utf8_lower(
+        pc.struct_field(pc.extract_regex(rest, r"^(?P<h>[^/?#]*)"), "h")
+    )
+    tail = pc.replace_substring_regex(rest, pattern=r"^[^/?#]*", replacement="")
+    path = pc.struct_field(pc.extract_regex(tail, r"^(?P<p>[^?#]*)"), "p")
+    qm = pc.extract_regex(tail, r"\?(?P<q>[^#]*)")
+    qs = pc.if_else(pc.is_valid(qm), pc.struct_field(qm, "q"), "")
+
+    host = pc.replace_substring_regex(
+        hostport, pattern=r"\.+(:\d*)?$", replacement=r"\1"
+    )
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, pattern=r":80$", replacement=""),
+        host,
+    )
+    host = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(host, pattern=r":443$", replacement=""),
+        host,
+    )
+
+    path = pc.replace_substring_regex(path, pattern=r"/{2,}", replacement="/")
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+    path = pc.if_else(
+        pc.equal(path, "/"),
+        path,
+        pc.replace_substring_regex(path, pattern=r"/$", replacement=""),
+    )
+
+    # query params: split → flatten → drop tracking/empty → one stable
+    # multi-key sort over (row, param) → rebuild offsets → binary_join
+    parts = pc.split_pattern(qs, "&")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts)
+    keep = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.match_substring_regex(flat, TRACKING_PARAM_PATTERN)),
+    )
+    flat_k = pc.filter(flat, keep)
+    parent_k = pc.filter(parent, keep)
+    order = pc.sort_indices(
+        pa.table({"p": parent_k, "v": flat_k}),
+        sort_keys=[("p", "ascending"), ("v", "ascending")],
+    )
+    vk = pc.take(flat_k, order)
+    if isinstance(vk, pa.ChunkedArray):
+        vk = vk.combine_chunks()
+    counts = np.bincount(np.asarray(parent_k), minlength=len(arr))
+    offsets = np.zeros(len(arr) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    qsn = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), vk), "&"
+    )
+
+    canonical = pc.binary_join_element_wise(
+        scheme,
+        "://",
+        host,
+        path,
+        pc.if_else(
+            pc.equal(qsn, ""), "", pc.binary_join_element_wise("?", qsn, "")
+        ),
+        "",
+    )
+    bare_host = pc.replace_substring_regex(host, pattern=r":\d+$", replacement="")
+    return canonical, bare_host
+
+
 def canonicalize_with_host_arrow(col: Column | str) -> Column:
-    """Arrow-batch (pandas UDF) twin of :func:`canonicalize_with_host`.
+    """Arrow-batch twin of :func:`canonicalize_with_host`.
 
     Same output struct, same algorithm; see the block comment above for when
-    to prefer it. Declared lazily so importing this module never forces a
-    pandas import on executors that don't use it.
+    to prefer it. Uses a native ``arrow_udf`` (PySpark ≥ 4.0: pyarrow
+    arrays in and out, no pandas object round-trip) over the vectorized
+    kernel pipeline in :func:`_canon_batch_pa`; falls back to a pandas UDF
+    around the same kernels on older runtimes. Declared lazily so importing
+    this module never forces a pandas/pyarrow import on executors that
+    don't use it.
     """
-    import pandas as pd  # noqa: F401 (documenting the runtime dependency)
+    try:
+        from pyspark.sql.functions import arrow_udf
+    except ImportError:
+        arrow_udf = None
+
+    if arrow_udf is not None:
+        # explicit ArrowUDFType.SCALAR: this module uses
+        # `from __future__ import annotations`, which turns type hints into
+        # strings that arrow_udf's hint inference can't resolve
+        from pyspark.sql.functions import ArrowUDFType
+
+        @arrow_udf("canonical_url string, host string", ArrowUDFType.SCALAR)
+        def _canon_udf(urls):
+            import pyarrow as pa
+
+            canonical, bare_host = _canon_batch_pa(urls)
+            return pa.StructArray.from_arrays(
+                [canonical, bare_host], names=["canonical_url", "host"]
+            )
+
+        return _canon_udf(_col(col))
+
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("canonical_url string, host string")
-    def _canon_udf(urls):
+    def _canon_udf_pd(urls):
         import pandas as pd
+        import pyarrow as pa
 
-        pairs = [_canon_pair_py(u) for u in urls]
-        return pd.DataFrame(pairs, columns=["canonical_url", "host"])
+        canonical, bare_host = _canon_batch_pa(pa.Array.from_pandas(urls))
+        return pd.DataFrame(
+            {
+                "canonical_url": canonical.to_pandas(),
+                "host": bare_host.to_pandas(),
+            }
+        )
 
-    return _canon_udf(_col(col))
+    return _canon_udf_pd(_col(col))
 
 
 DUCKDB_CANONICAL_CTE = r"""

@@ -55,9 +55,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # throughput GC: the canonicalize/extract chains are allocation-heavy;
-        # ParallelGC measured ~27% faster than G1 at 32 cores on this box
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # G1 (Java 17's default) — an earlier round pinned ParallelGC from a
+        # small A/B, but event-log task metrics at 32 cores show ParallelGC
+        # melting down under the canonicalize/shuffle allocation rate:
+        # 54 s + 99 s of summed stage GC and 22.8 s job wall vs G1's ~3 s GC
+        # and 11.6 s wall on the identical job (tools/profile_scaling.py).
+        # GC pause wall-time is parallelism-INDEPENDENT serial time, so it
+        # was also the main reason measured N->4N scaling efficiency capped
+        # near 0.5. Overridable for GC experiments.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseG1GC"))
         # shuffle to RAM-backed storage in this sandbox (single-disk box —
         # spinning shuffle through / makes every scaling number disk-bound;
         # a real cluster spreads shuffle over many local disks)
