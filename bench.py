@@ -374,10 +374,13 @@ def _scaling_pair() -> dict:
     for cpus in (8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                    SPARK_GRAFT_CRAWL_RUNS="3")
-        # 128 variants → 19.2M URLs: long enough legs (~45 s at 8c) that
-        # per-job fixed costs stop eating the 32c speedup (at 64 variants the
-        # same box measures raw ~0.54-0.67; at 128, ~0.72).
-        env.setdefault("SPARK_GRAFT_URL_VARIANTS", "128")
+        # 512 variants → 76.8M URLs: the r3 arrow canonicalizer + clustered
+        # repartition cut the 32c leg to ~5 s at 128 variants, at which point
+        # the ~1.3 s parallelism-independent fixed cost (session/stage setup,
+        # final single-partition agg) alone costs ~20 points of apparent
+        # efficiency. 4× the input amortizes it: legs run ~50 s (8c) / ~15 s
+        # (32c) and the measured number is the job, not the launch overhead.
+        env.setdefault("SPARK_GRAFT_URL_VARIANTS", "512")
         # sized heap + G1: a scaling measurement with an undersized heap
         # measures the garbage collector, not the job — at 8 GiB the 32-core
         # leg spent 50-130 summed seconds per stage in stop-the-world GC

@@ -1674,10 +1674,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.embedding_near_pairs(_read(spark, sf_dir, "embeddings"))
 
 
-@_register("ann_signlsh_topk", oracle=None)
+@_register("ann_signlsh_topk", ann.duckdb_signlsh_topk(0, 10))
 def q_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH probe (hyperplanes from md5 via base-16
-    conv — no portable SQL mirror; rows-only check)."""
+    """Sign-random-projection LSH probe. Oracled since r3: DuckDB derives
+    the identical md5 hyperplanes (``('0x'||hex)::BIGINT`` ≡ Spark
+    ``conv(hex,16,10)``) and replays the same left-fold projections, so
+    bucket membership and cosines match bit-for-bit."""
     return ann.signlsh_topk(_read(spark, sf_dir, "embeddings"), 0, 10)
 
 

@@ -187,6 +187,47 @@ def signlsh_bucket(vec: Column) -> Column:
     return bucket.cast("int")
 
 
+def _duckdb_plane_value(plane: int, idx_expr: str) -> str:
+    """DuckDB mirror of :func:`_plane_value`, bit-identical: same md5 input
+    string, same first-12-hex-digits window, and ``('0x'||hex)::BIGINT``
+    equals Spark's ``conv(hex, 16, 10)`` exactly (both yield the integer
+    value, cast to DOUBLE before one division by 16^12 and one subtraction,
+    all in IEEE double)."""
+    return (
+        f"(('0x' || substr(md5('p{plane}|' || {idx_expr}), 1, 12))::BIGINT"
+        f"::DOUBLE / {float(16 ** 12)!r} - 0.5)"
+    )
+
+
+def _duckdb_signlsh_bucket(vec: str) -> str:
+    """DuckDB mirror of :func:`signlsh_bucket`: per plane, the projection is
+    the same left-to-right double fold as the Spark ``aggregate``, and only
+    its SIGN feeds the bucket — identical fold ⇒ identical bit ⇒ identical
+    bucket."""
+    bits = []
+    for p in range(N_PLANES):
+        terms = (
+            f"list_transform(range(1, len({vec}) + 1), "
+            f"i -> {vec}[i]::DOUBLE * {_duckdb_plane_value(p, 'i')})"
+        )
+        proj = DUCKDB_FOLD.format(terms=terms)
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")::INT"
+
+
+def duckdb_signlsh_topk(query_vec_id: int, k: int = 10, table: str = "embeddings") -> str:
+    cos = duckdb_cosine("e.embedding", "q.embedding")
+    bucket = _duckdb_signlsh_bucket("embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bkt FROM {table}),
+q AS (SELECT embedding, bkt FROM b WHERE vec_id = {query_vec_id})
+SELECT e.vec_id AS vec_id, round({cos}, 6) AS cos
+FROM b e JOIN q ON e.bkt = q.bkt
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def embedding_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.3,

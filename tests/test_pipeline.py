@@ -134,6 +134,31 @@ def test_embedding_near_pairs_block_local(emb):
         assert r.id_a < r.id_b and r.cos >= 0.2
 
 
+def test_signlsh_topk_matches_duckdb(emb, duck):
+    """r3: the md5-derived hyperplanes are replayed in DuckDB
+    (('0x'||hex)::BIGINT ≡ conv(hex,16,10); same left-fold projections), so
+    the probe has a full value oracle, not just a rows-only check."""
+    assert_same(
+        ann.signlsh_topk(emb, query_vec_id=0, k=10),
+        duck.sql(ann.duckdb_signlsh_topk(0, 10)),
+        sort_cols=["vec_id"],
+    )
+
+
+def test_signlsh_bucket_matches_duckdb(emb, duck):
+    from pyspark.sql import functions as F
+
+    assert_same(
+        emb.select("vec_id", ann.signlsh_bucket(F.col("embedding")).alias("bkt")),
+        duck.sql(
+            "SELECT vec_id, "
+            + ann._duckdb_signlsh_bucket("embedding")
+            + " AS bkt FROM embeddings"
+        ),
+        sort_cols=["vec_id"],
+    )
+
+
 def test_signlsh_bucket_deterministic_and_topk_consistent(emb):
     from pyspark.sql import functions as F
 
