@@ -487,10 +487,16 @@ def run_scaling() -> None:
 
 
 def main() -> None:
-    # measured-run JVM posture (see _scaling_pair): sized G1 heap so the
-    # numbers measure the job, not the collector. Explicit env still wins.
+    # Measured-run JVM posture. Sized 24g MAX heap + G1, but NO -Xms
+    # prefill here: A/B'd on the full query suite, `-Xms20g` produced
+    # episodic multi-second G1 evacuation pauses that landed on random
+    # queries (suite 113-123 s, single queries spiking 0.4 s → 38-52 s);
+    # the same heap without the prefill ran the suite in 43.9 s. The
+    # prefill stays ONLY on the homogeneous short-lived --crawl-only
+    # scaling legs (_scaling_pair), where it measured well and a mid-leg
+    # heap growth would pollute the timing. Explicit env still wins.
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
-    os.environ.setdefault("SPARK_GRAFT_JVM_OPTS", "-XX:+UseG1GC -Xms20g")
+    os.environ.setdefault("SPARK_GRAFT_JVM_OPTS", "-XX:+UseG1GC")
     if "--crawl-only" in sys.argv:
         run_crawl_only()
         return
