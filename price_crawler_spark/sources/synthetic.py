@@ -21,6 +21,7 @@ Hashing uses md5 (stable across processes; Python's hash() is salted).
 
 from __future__ import annotations
 
+import bisect
 import hashlib
 import json
 from urllib.parse import parse_qs, unquote_plus, urlparse
@@ -73,6 +74,8 @@ if _CATALOG_N:
 # precomputed indexes so page synthesis stays fast at large catalog sizes
 _NORM_CATALOG: list | None = None
 _PID_INDEX: dict | None = None
+_SCAN_BLOB: str | None = None
+_SCAN_OFFSETS: list | None = None
 
 
 def _norm_catalog() -> list:
@@ -82,6 +85,26 @@ def _norm_catalog() -> list:
             (name, _norm(name), base, specs) for name, base, specs in CATALOG
         ]
     return _NORM_CATALOG
+
+
+def _scan_index() -> tuple[str, list]:
+    """All normalized names joined by NUL into ONE string, plus each name's
+    start offset. Substring search then runs as C-speed ``str.find`` over
+    the blob instead of a Python-level loop of ``in`` checks per name — at
+    CATALOG_N=400k that's the difference between ~1 ms and ~100 ms per
+    synthesized search page, which dominated the 1.2M-URL engine bench.
+    NUL never appears in a normalized name or query, so a match can't span
+    two names; find() positions ascend, preserving catalog order exactly."""
+    global _SCAN_BLOB, _SCAN_OFFSETS
+    if _SCAN_BLOB is None:
+        offs, pos, parts = [], 0, []
+        for _, norm_name, _, _ in _norm_catalog():
+            offs.append(pos)
+            parts.append(norm_name)
+            pos += len(norm_name) + 1
+        _SCAN_BLOB = "\x00".join(parts)
+        _SCAN_OFFSETS = offs
+    return _SCAN_BLOB, _SCAN_OFFSETS
 
 
 def _pid_index(store: str) -> dict:
@@ -122,17 +145,31 @@ def _query_of(url: str) -> str | None:
 
 
 def catalog_matches(store: str, query: str) -> list[tuple[str, float, str, bool]]:
-    """Reference mock matching: normalized substring (mock_scraper.py:156-172)."""
+    """Reference mock matching: normalized substring (mock_scraper.py:156-172).
+
+    Semantics are unchanged from the per-name linear scan (same order, same
+    per-store cap); the blob index only changes HOW the scan runs (one
+    ``str.find`` walk — see :func:`_scan_index`)."""
     nq = _norm(query)
     cap = MAX_RESULTS.get(store, 50)
+    norm_cat = _norm_catalog()
     out = []
-    for name, norm_name, base, specs in _norm_catalog():
-        if nq in norm_name:
-            out.append(
-                (name, store_price(store, name, base), specs, store_in_stock(store, name))
-            )
-            if len(out) >= cap:
-                break
+    if not nq:
+        hit_idxs = range(min(cap, len(norm_cat)))
+    else:
+        blob, offs = _scan_index()
+        hit_idxs = []
+        p = blob.find(nq)
+        while p != -1 and len(hit_idxs) < cap:
+            i = bisect.bisect_right(offs, p) - 1
+            hit_idxs.append(i)
+            # jump past this name: later matches inside it are the same hit
+            p = blob.find(nq, offs[i] + len(norm_cat[i][1]) + 1)
+    for i in hit_idxs:
+        name, _, base, specs = norm_cat[i]
+        out.append(
+            (name, store_price(store, name, base), specs, store_in_stock(store, name))
+        )
     return out
 
 
