@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -360,9 +361,10 @@ def hw_ceiling() -> float:
 
 def _scaling_pair() -> dict:
     """One tightly-paired measurement: local[8] leg immediately followed by
-    the local[32] leg (fresh subprocess each, best-of-3 inside, ~2 min total
-    window) and the pure-CPU hardware-ceiling probe in the SAME window, so
-    co-tenant interference hits job and probe alike. Box load *before* the
+    the local[32] leg (fresh subprocess each, best-of-3 inside, core-pinned
+    — see below; ~13 min total window at 512 variants) and the pure-CPU
+    hardware-ceiling probe in the SAME window, so co-tenant interference
+    hits job and probe alike. Box load *before* the
     pair is recorded so a reviewer can see which pairs ran quiesced. A
     settle sleep first lets the previous pair's own load decay out of the
     1-min average — otherwise the sample reads back our own finished work
@@ -387,9 +389,22 @@ def _scaling_pair() -> dict:
         # (parallelism-independent wall time), halving apparent efficiency.
         env.setdefault("SPARK_DRIVER_MEM", "24g")
         env.setdefault("SPARK_GRAFT_JVM_OPTS", "-XX:+UseG1GC -Xms20g")
+        # CORE-HONEST LEGS (r3): pin each leg to exactly `cpus` hardware
+        # cores. Without the pin, a local[8] leg of a job with an Arrow
+        # Python UDF really runs ~16 hardware threads (8 JVM task threads +
+        # 8 Python workers spill onto the box's idle cores) while local[32]
+        # runs 64 threads on 32 cores — a hidden 2× resource asymmetry that
+        # structurally DEFLATES measured efficiency (stage profile: the 8c
+        # map stage showed near-zero blocked time, the 32c one 340 summed
+        # blocked seconds). taskset makes each leg what a real N-core
+        # machine would be: JVM, Python workers, and GC all share the same
+        # N cores. Measured effect: the pinned 8c leg is ~30% slower than
+        # the unpinned one (56.1 s vs 41-47 s best on identical input).
+        cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
-            env=env, capture_output=True, text=True, timeout=1800,
+            cmd, env=env, capture_output=True, text=True, timeout=1800,
         )
         line = r.stdout.strip().splitlines()[-1]
         out[cpus] = json.loads(line)

@@ -21,7 +21,7 @@ import sys
 import time
 
 
-def run_once(cpus: int, variants: int = 128) -> dict:
+def run_once(cpus: int, variants: int = int(os.environ.get("SPARK_GRAFT_URL_VARIANTS", "128"))) -> dict:
     from pyspark.sql import Window, functions as F
 
     from price_crawler_spark.functions.urls import (
