@@ -340,18 +340,30 @@ def _burn(n: int) -> int:
     return x
 
 
+def _pin_to_first_cores(n: int) -> None:
+    """Pool initializer: confine this worker to cores 0..n-1 — the same
+    core budget the pinned job legs get, so probe and job measure the same
+    hypothetical N-core machine. No-op where unsupported."""
+    try:
+        os.sched_setaffinity(0, set(range(n)))
+    except (AttributeError, OSError):
+        pass
+
+
 def hw_ceiling() -> float:
-    """Measured compute-scaling ceiling of this box going 8→32 workers
-    (pure-CPU multiprocessing, no Spark). On shared/virtualized hosts the
-    hardware itself often delivers < 4× from 4× cores (frequency scaling /
-    hypervisor caps); the job's efficiency is only meaningful relative to
-    this."""
+    """Measured compute-scaling ceiling of this box going an 8-core machine
+    → a 32-core machine (pure-CPU multiprocessing, no Spark; workers pinned
+    to the leg's core budget like the job legs are). On shared/virtualized
+    hosts the hardware itself often delivers < 4× from 4× cores (frequency
+    scaling / hypervisor caps); the job's efficiency is only meaningful
+    relative to this."""
     import multiprocessing as mp
 
     rates = {8: 0.0, 32: 0.0}
     for _ in range(3):  # best-of-3: the probe suffers neighbor noise too
         for procs in (8, 32):
-            with mp.Pool(procs) as p:
+            with mp.Pool(procs, initializer=_pin_to_first_cores,
+                         initargs=(procs,)) as p:
                 t0 = time.time()
                 p.map(_burn, [4_000_000] * procs * 4)
                 rate = procs * 4 * 4_000_000 / (time.time() - t0)
@@ -424,10 +436,12 @@ def _scaling_pair() -> dict:
 _MEMBW_BUF = None
 
 
-def _membw_init(n: int) -> None:
+def _membw_init(n: int, pin_cores: int = 0) -> None:
     global _MEMBW_BUF
     import numpy as np
 
+    if pin_cores:
+        _pin_to_first_cores(pin_cores)
     _MEMBW_BUF = (np.arange(n, dtype=np.int64), np.empty(n, dtype=np.int64))
     # fault both buffers in HERE: the initializer runs exactly once per pool
     # worker, unlike a warm-up map() whose greedy chunking can leave a worker
@@ -458,7 +472,8 @@ def hw_ceiling_membw() -> float:
     rates = {8: 0.0, 32: 0.0}
     for _ in range(3):  # best-of-3, same discipline as hw_ceiling()
         for procs in (8, 32):
-            with mp.Pool(procs, initializer=_membw_init, initargs=(n,)) as p:
+            with mp.Pool(procs, initializer=_membw_init,
+                         initargs=(n, procs)) as p:
                 # startup barrier only (faulting happens in the initializer;
                 # a map can't guarantee per-worker task distribution)
                 p.map(_membw_pass, [1] * procs * 2)
