@@ -1960,7 +1960,8 @@ def q_gh3c_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SANJING_SPECS_SQL = """list_slice(
   ['螢幕 ' || CAST(p_partkey % 30 + 10 AS VARCHAR) || '吋',
-   '記憶體 ' || CAST(8 + p_partkey % 56 AS VARCHAR) || 'GB',
+   CASE WHEN p_partkey % 6 = 0 THEN '   '
+        ELSE '記憶體 ' || CAST(8 + p_partkey % 56 AS VARCHAR) || 'GB' END,
    '硬碟 ' || CAST(p_partkey % 4 + 1 AS VARCHAR) || 'TB',
    '保固 ' || CAST(p_partkey % 3 + 1 AS VARCHAR) || '年'],
   1, p_partkey % 5)"""
@@ -1971,7 +1972,8 @@ _SANJING_SPECS_SQL = """list_slice(
     f"""WITH c AS (SELECT p_partkey,
   (CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_name END) AS name_raw,
   'NT$' || CAST(p_partkey % 90000 + 1000 AS VARCHAR) || ' 元' AS price_text,
-  {_SANJING_SPECS_SQL} AS specs,
+  list_filter(list_transform({_SANJING_SPECS_SQL}, x -> trim(x)),
+              x -> x IS NOT NULL AND x <> '') AS specs,
   'FULL ' || p_name AS fullname FROM part)
 SELECT p_partkey,
   coalesce(name_raw, '未知產品') AS name,
@@ -1984,7 +1986,9 @@ FROM c""",
 def q_sanjing_card_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P17 (sanjing.py:151-224): name defaults to 未知產品, price = digit
     run, ALWAYS in stock, description = first 3 spec lines joined ' | '
-    falling back to the full-name div."""
+    falling back to the full-name div. Spec lines are stripped and empties
+    dropped BEFORE the first-3 slice (sanjing.py:199-200) — every 6th part
+    carries a whitespace-only spec line to exercise exactly that."""
     part = _read(spark, sf_dir, "part")
     pk = F.col("p_partkey")
     name_raw = F.when(pk % 7 != 0, F.col("p_name"))
@@ -1994,12 +1998,20 @@ def q_sanjing_card_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     specs = F.slice(
         F.array(
             F.concat(F.lit("螢幕 "), (pk % 30 + 10).cast("string"), F.lit("吋")),
-            F.concat(F.lit("記憶體 "), (pk % 56 + 8).cast("string"), F.lit("GB")),
+            F.when(pk % 6 == 0, F.lit("   ")).otherwise(
+                F.concat(F.lit("記憶體 "), (pk % 56 + 8).cast("string"), F.lit("GB"))
+            ),
             F.concat(F.lit("硬碟 "), (pk % 4 + 1).cast("string"), F.lit("TB")),
             F.concat(F.lit("保固 "), (pk % 3 + 1).cast("string"), F.lit("年")),
         ),
         F.lit(1),
         pk % 5,
+    )
+    specs = F.filter(
+        # single-arg lambda: F.transform would feed (element, index) to a
+        # bare F.trim, producing two-parameter TRIM
+        F.transform(specs, lambda t: F.trim(t)),
+        lambda t: t.isNotNull() & (t != ""),
     )
     fullname = F.concat(F.lit("FULL "), F.col("p_name"))
     desc = F.coalesce(

@@ -142,7 +142,7 @@ def _canon_pair_py(url):
     :func:`canonicalize_with_host`, step numbers from the module docstring."""
     if url is None:
         return None, None
-    u = url.strip()
+    u = url.strip(" ")  # spaces only, matching F.trim / DuckDB trim()
     h = u.find("#")  # 1. strip fragment
     if h != -1:
         u = u[:h]
@@ -216,7 +216,10 @@ def _canon_batch_pa(arr):
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    u = pc.utf8_trim_whitespace(arr)
+    # spaces ONLY — the expression chain's F.trim and the DuckDB oracle's
+    # trim() strip ' ' alone, so tab/newline padding must survive here too
+    # for the three impls to canonicalize identically (ADVICE r3)
+    u = pc.utf8_trim(arr, " ")
     u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
     sm = pc.extract_regex(u, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://")
     scheme = pc.utf8_lower(

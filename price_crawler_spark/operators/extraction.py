@@ -703,7 +703,9 @@ def disabled_store_products(docs: DataFrame) -> DataFrame:
       * momo    — name required then momo_clean_name; price = first digit
                   run, $,-stripped, default 0 (momo.py:166-187); stock =
                   per-text-node OOS regex + button check, default in stock
-                  (momo.py:225-253); cards whose cleaned name is empty drop.
+                  (momo.py:225-253); only cards whose RAW name is empty
+                  drop (momo.py:151-153) — a name that cleans to '' keeps
+                  its row.
       * sanjing — parent-link URL required (sanjing.py:155-159: no link →
                   row dropped); name defaults to 未知產品; price = digit run
                   as float; ALWAYS in stock (sanjing.py:216-221);
@@ -762,12 +764,15 @@ def disabled_store_products(docs: DataFrame) -> DataFrame:
 
     momo_name = momo_clean_name(F.col("name_raw"))
     gh3c_name = clean_product_name(F.col("name_raw"))
+    # sanjing.py:199-200: li.get_text(strip=True), empties dropped BEFORE
+    # the [:3] slice — an empty spec line must not displace a real one.
+    sanjing_spec_texts = F.filter(
+        F.transform(F.col("spec_lines"), lambda s: F.trim(s["text"])),
+        lambda t: t.isNotNull() & (t != ""),
+    )
     sanjing_desc = F.coalesce(
         F.nullif(
-            F.array_join(
-                F.slice(F.transform(F.col("spec_lines"), lambda s: s["text"]), 1, 3),
-                " | ",
-            ),
+            F.array_join(F.slice(sanjing_spec_texts, 1, 3), " | "),
             F.lit(""),
         ),
         F.col("fullname_text"),

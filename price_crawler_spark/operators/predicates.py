@@ -475,7 +475,8 @@ def sunfar_in_stock(pos_qty: Column, buy: Column, state_no: Column, price: Colum
 # noStock, disabled attr) are folded into the card's ``stock`` span text by
 # the span emitter, same convention as every other card store here.
 MOMO_OOS_TEXT_RE = (
-    r"(?i)缺貨|售完|補貨中|暫停供應|停產|預購|無庫存|out.*stock|sold.*out|現貨不足"
+    r"(?i)缺貨|售完|補貨中|暫停供應|停產|預購|無庫存|out.*stock|sold.*out"
+    r"|暫不供貨|現貨不足"
 )
 
 

@@ -85,10 +85,18 @@ def test_momo_card_parse(spark):
         # item 4: raw title empty → dropped
         ("title", "  ", None, 40),
         ("price", "$77", None, 41),
+        # item 5: OOS via 暫不供貨 — in the reference momo OOS regex
+        # (momo.py:230) between sold.*out and 現貨不足; regression case for
+        # the ADVICE r3 drift finding
+        ("title", "AMD Ryzen 9 7950X", None, 50),
+        ("price", "$18,500", None, 51),
+        ("stock", "暫不供貨", None, 52),
     ]
     rows = disabled_store_products(_docs(spark, "momo", spans)) \
         .orderBy("seq").collect()
-    assert len(rows) == 4
+    assert len(rows) == 5
+    assert rows[4]["in_stock"] is False  # 暫不供貨
+    assert rows[4]["price"] == 18500.0
     # 【限定】/【白】 removed with content, paired ★促銷★ removed, trimmed
     assert rows[0]["product_name"] == "GIGABYTE RTX 4070"
     assert rows[0]["price"] == 1299.0
@@ -126,10 +134,21 @@ def test_sanjing_card_parse(spark):
         # item 2: NO parent link → dropped (sanjing.py:155-159)
         ("title", "SteelSeries 滑鼠", None, 20),
         ("price", "$1,490", None, 21),
+        # item 3: whitespace-only spec line must NOT displace a real spec —
+        # the reference drops empties BEFORE the [:3] slice
+        # (sanjing.py:199-200); ADVICE r3 regression case
+        ("title", "MSI MAG 274QRF", None, 30),
+        ("price", "$8,888", None, 31),
+        ("link", None, "https://www.sanjing3c.com.tw/p/3", 32),
+        ("spec", "27吋", None, 33),
+        ("spec", "   ", None, 34),
+        ("spec", "2K 180Hz", None, 35),
+        ("spec", "HDR400", None, 36),
     ]
     rows = disabled_store_products(_docs(spark, "sanjing", spans)) \
         .orderBy("seq").collect()
-    assert len(rows) == 2
+    assert len(rows) == 3
+    assert rows[2]["specifications"] == "27吋 | 2K 180Hz | HDR400"
     assert rows[0]["specifications"] == "16GB GDDR6X | 三風扇 | 5年保固"
     assert rows[0]["price"] == 32900.0
     assert rows[0]["in_stock"] is True

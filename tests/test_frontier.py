@@ -99,6 +99,14 @@ def test_canonicalizer_arrow_variant_parity(spark):
     ] + [
         f"https://Shop{i % 64}.example.com/item/{i}?a=1&utm_source=v{i}&b={i % 4}"
         for i in range(100)
+    ] + [
+        # whitespace padding: ' ' strips in every impl; tab/newline must
+        # SURVIVE in every impl (F.trim / DuckDB trim() are space-only —
+        # ADVICE r3 arrow-vs-expr drift case)
+        "  https://pad.example.com/a?b=1  ",
+        "\thttps://pad.example.com/a?b=1\t",
+        "\nhttps://pad.example.com/a?b=1\n",
+        " \t https://pad.example.com/a ",
     ]
     df = spark.createDataFrame([(u,) for u in cases], ["u"])
     expr_rows = df.select(canonicalize_with_host("u").alias("c")).select(
