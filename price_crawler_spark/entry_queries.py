@@ -524,6 +524,95 @@ def q_coolpc_option_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- extraction (P4: CoolPC JS price arrays — dead code in the reference,
+# implemented for 82/82 coverage; quirks documented on the operator) --------
+
+_COOLPC_JS_HTML_SQL = """concat_ws(' ', '<script>',
+  'c1=[' || CAST(p_partkey % 100 AS VARCHAR) || ',0,'
+         || CAST(p_partkey % 7 AS VARCHAR) || ']',
+  CASE WHEN p_partkey % 4 = 0
+       THEN 'c1=[' || CAST(p_partkey % 13 AS VARCHAR) || ',5]' ELSE '' END,
+  CASE WHEN p_partkey % 3 = 0
+       THEN 'c2=[' || CAST(p_partkey % 1000 AS VARCHAR) || ','
+                   || CAST(p_partkey % 50 AS VARCHAR) || ']' ELSE '' END,
+  'g1=[' || CAST(p_partkey % 10 AS VARCHAR) || '.5,'
+         || CAST(p_partkey % 3 AS VARCHAR) || ']',
+  CASE p_partkey % 5 WHEN 0 THEN 'Header=[1,2,3]' WHEN 1 THEN 'Header=[12]'
+       WHEN 2 THEN 'Header=[1,]' WHEN 4 THEN 'Header=[[1,2],[3]]'
+       ELSE '' END,
+  '</script>')"""
+
+
+@_register(
+    "coolpc_js_arrays",
+    f"""WITH h AS (SELECT p_partkey, {_COOLPC_JS_HTML_SQL} AS html FROM part),
+e AS (SELECT p_partkey, list_concat(list_concat(
+    list_transform(regexp_extract_all(html, 'c(\\d+)=\\[([\\d,]+)\\]', 0),
+      m -> {{'array_name': 'c' || regexp_extract(m, '^c(\\d+)=', 1),
+             'data': regexp_extract(m, '\\[([\\d,]+)\\]', 1)}}),
+    list_transform(regexp_extract_all(html, 'g(\\d+)=\\[([\\d\\.,]+)\\]', 0),
+      m -> {{'array_name': 'g' || regexp_extract(m, '^g(\\d+)=', 1),
+             'data': regexp_extract(m, '\\[([\\d\\.,]+)\\]', 1)}})),
+    list_transform(
+      list_filter(regexp_extract_all(html, 'Header=\\[([\\d\\[\\],]+)\\]', 1),
+                  d -> length(d) = 2),
+      d -> {{'array_name': 'Header', 'data': d[2]}})) AS entries
+  FROM h),
+t AS (SELECT p_partkey, unnest(list_transform(entries,
+        (x, i) -> {{'array_name': x.array_name, 'data': x.data, 'pos': i}}))
+        AS ent FROM e),
+w AS (SELECT p_partkey, ent.array_name AS array_name, ent.data AS data,
+        row_number() OVER (PARTITION BY p_partkey, ent.array_name
+                           ORDER BY ent.pos DESC) AS rn FROM t),
+v AS (SELECT p_partkey, array_name, string_split(data, ',') AS xs
+      FROM w WHERE rn = 1),
+u AS (SELECT p_partkey, array_name, unnest(xs) AS x,
+        generate_subscripts(xs, 1) - 1 AS idx FROM v)
+SELECT p_partkey, array_name, idx,
+  CASE WHEN x = '' OR x = '0' THEN 0.0 ELSE CAST(x AS DOUBLE) END AS value
+FROM u""",
+)
+def q_coolpc_js_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (coolpc.py:42-61, ``_parse_js_arrays`` — dead code, never invoked
+    by ``search_products``; implemented to close SURVEY §2 at 82/82). Synth
+    pages carry duplicate c1 arrays (last-wins), a '0' element, g floats,
+    and all four Header shapes incl. the two len==2 survivors ('12' → [2.0]
+    via match[1]; '1,' → [0,0] via splitting ',')."""
+    from price_crawler_spark.operators.extraction import coolpc_js_arrays
+
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    html = F.concat_ws(
+        " ",
+        F.lit("<script>"),
+        F.concat(F.lit("c1=["), (pk % 100).cast("string"), F.lit(",0,"),
+                 (pk % 7).cast("string"), F.lit("]")),
+        F.when(pk % 4 == 0,
+               F.concat(F.lit("c1=["), (pk % 13).cast("string"), F.lit(",5]"))
+               ).otherwise(F.lit("")),
+        F.when(pk % 3 == 0,
+               F.concat(F.lit("c2=["), (pk % 1000).cast("string"), F.lit(","),
+                        (pk % 50).cast("string"), F.lit("]"))
+               ).otherwise(F.lit("")),
+        F.concat(F.lit("g1=["), (pk % 10).cast("string"), F.lit(".5,"),
+                 (pk % 3).cast("string"), F.lit("]")),
+        F.when(pk % 5 == 0, F.lit("Header=[1,2,3]"))
+        .when(pk % 5 == 1, F.lit("Header=[12]"))
+        .when(pk % 5 == 2, F.lit("Header=[1,]"))
+        .when(pk % 5 == 4, F.lit("Header=[[1,2],[3]]"))
+        .otherwise(F.lit("")),
+        F.lit("</script>"),
+    )
+    return (
+        part.select("p_partkey", F.explode(coolpc_js_arrays(html)).alias("e"))
+        .select(
+            "p_partkey",
+            F.col("e.array_name").alias("array_name"),
+            F.posexplode("e.values").alias("idx", "value"),
+        )
+    )
+
+
 # ---- embedded-JSON extraction (P5/P8 family) -------------------------------
 
 @_register(

@@ -101,6 +101,80 @@ def coolpc_products(docs: DataFrame) -> DataFrame:
     return out.select(*PRODUCT_COLS)
 
 
+def coolpc_js_arrays(html) -> F.Column:
+    """P4: CoolPC JS price-array scan (coolpc.py:42-61,
+    ``_parse_js_arrays``). DEAD CODE in the reference — never called from
+    ``search_products`` — implemented for coverage with the reference's
+    exact quirks, fuzz-parity-gated against the pinned reference method:
+
+      * three regexes over the raw page: ``c<k>=[ints]``, ``g<k>=[floats]``,
+        ``Header=[digits/brackets/commas]``, scanned in that order;
+      * the reference's ``len(match) == 2`` guard is a no-op for c/g
+        (findall yields 2-tuples) but for Header it tests the captured
+        data STRING — only exactly-2-char payloads survive, and
+        ``match[1]`` (the payload's SECOND character) is what gets split;
+      * elements ``''`` and ``'0'`` become 0, everything else ``float``;
+      * duplicate array names: last occurrence wins (dict overwrite).
+
+    Returns ``array<struct<array_name:string, values:array<double>>>`` —
+    pure expression chain (regexp_extract_all + higher-order functions),
+    no Python in the loop.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+
+    def ent(name, data):
+        return F.struct(name.alias("array_name"), data.alias("data"))
+
+    c = F.transform(
+        F.regexp_extract_all(h, F.lit(r"c(\d+)=\[([\d,]+)\]"), F.lit(0)),
+        lambda m: ent(
+            F.concat(F.lit("c"), F.regexp_extract(m, r"^c(\d+)=", 1)),
+            F.regexp_extract(m, r"\[([\d,]+)\]", 1),
+        ),
+    )
+    g = F.transform(
+        F.regexp_extract_all(h, F.lit(r"g(\d+)=\[([\d\.,]+)\]"), F.lit(0)),
+        lambda m: ent(
+            F.concat(F.lit("g"), F.regexp_extract(m, r"^g(\d+)=", 1)),
+            F.regexp_extract(m, r"\[([\d\.,]+)\]", 1),
+        ),
+    )
+    hdr = F.transform(
+        F.filter(
+            F.regexp_extract_all(h, F.lit(r"Header=\[([\d\[\],]+)\]"), F.lit(1)),
+            lambda d: F.length(d) == 2,
+        ),
+        lambda d: ent(F.lit("Header"), F.substring(d, 2, 1)),
+    )
+    tagged = F.transform(
+        F.concat(c, g, hdr),
+        lambda e, i: F.struct(
+            e["array_name"].alias("array_name"), e["data"].alias("data"),
+            i.alias("pos"),
+        ),
+    )
+    # dict-overwrite semantics: keep an entry only if no LATER entry shares
+    # its name (handful of arrays per page — the quadratic is per-row tiny)
+    last = F.filter(
+        tagged,
+        lambda e: ~F.exists(
+            tagged,
+            lambda o: (o["array_name"] == e["array_name"]) & (o["pos"] > e["pos"]),
+        ),
+    )
+    return F.transform(
+        last,
+        lambda e: F.struct(
+            e["array_name"].alias("array_name"),
+            F.transform(
+                F.split(e["data"], ","),
+                lambda x: F.when((x == "") | (x == "0"), F.lit(0.0))
+                .otherwise(x.cast("double")),
+            ).alias("values"),
+        ),
+    )
+
+
 def card_products(docs: DataFrame) -> DataFrame:
     """P10/P15: card spans → one row per item. Items are delimited by their
     ``title`` span: item_idx = running count of titles per doc (window over

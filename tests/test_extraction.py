@@ -839,3 +839,41 @@ def test_pchome_stock_reference_truth_table(spark):
     ).collect()
     bad = [(r.name, r.st, r.btn, r.got, r.exp) for r in got if r.got != r.exp]
     assert not bad, bad
+
+
+def test_coolpc_js_arrays_fuzz_parity_with_reference(spark):
+    """P4: extraction.coolpc_js_arrays vs the ACTUAL reference
+    CoolPCScraper._parse_js_arrays (coolpc.py:42-61, hash-pinned) over
+    adversarial pages: duplicate names (last wins), '0'/'' elements, the
+    Header len==2 string quirk, nested brackets, floats in g arrays."""
+    import random
+
+    from price_crawler_spark.operators.extraction import coolpc_js_arrays
+
+    from .refsource import extract_function
+
+    ref_parse = extract_function(
+        "app/scrapers/coolpc.py", "_parse_js_arrays", cls="CoolPCScraper"
+    )
+    rng = random.Random(41)
+    frags = [
+        "c1=[100,200,0]", "c1=[7,5]", "c2=[0]", "c12=[55,0,3]",
+        "g1=[1.5,2]", "g1=[0.5,,7]".replace(",,", ","),  # valid floats only
+        "g3=[10,0]", "g12=[9.25]",
+        "Header=[12]", "Header=[1,]", "Header=[1,2,3]",
+        "Header=[[1,2],[3]]", "Header=[9]", "Header=[,]",
+        "<td>noise $123</td>", "var x=foo;", "c=[1,2]", "g=[3]",
+        "abc7=[44,2]",  # unanchored: matches the c-pattern inside 'abc7'
+    ]
+    pages = []
+    for i in range(160):
+        k = 1 + rng.randrange(6)
+        pages.append(" ".join(rng.choice(frags) for _ in range(k)))
+    df = spark.createDataFrame([(p,) for p in pages], "html string")
+    got_rows = df.select(
+        "html", coolpc_js_arrays("html").alias("arrays")
+    ).collect()
+    for r in got_rows:
+        got = {e["array_name"]: e["values"] for e in r["arrays"]}
+        want = {k: [float(x) for x in v] for k, v in ref_parse(r["html"]).items()}
+        assert got == want, (r["html"], got, want)
