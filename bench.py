@@ -540,44 +540,76 @@ def main() -> None:
         run_engine()
         return
 
+    import statistics
+
     import __spark_entry__ as entrymod
     from price_crawler_spark.session import get_spark
 
-    # 1-min load BEFORE we start: the per-query numbers are single-shot on a
-    # shared box (documented swing up to 3×), so every recorded bench carries
-    # its noise context. Quiesced protocol = loadavg < 4, no other Spark jobs.
+    # 1-min load BEFORE we start: the box is shared (documented swing up to
+    # 3× on single shots), so every recorded bench carries its noise
+    # context. Quiesced protocol = loadavg < 4, no other Spark jobs.
     load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     registry = entrymod.queries()
+    # Noise posture (VERDICT r3 item 2): one DISCARDED warm-up pass per
+    # query (first-execution JIT measured at ~8 s on MinHash alone —
+    # scripts/profile_minhash.py), then SPARK_GRAFT_BENCH_RUNS (default 3)
+    # measured passes; the recorded per-query number is the MEDIAN, so a
+    # single co-tenant spike can't distort the official round record. All
+    # raw samples are emitted in "queries_all_sec" so nothing is hidden.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
-    n_urls, crawl_dt = frontier_throughput(spark, SF_DIR)
-    times["frontier_dedup_schedule"] = round(crawl_dt, 3)
-
-    n_seen, seen_dt = seen_path_throughput(spark, SF_DIR)
-    times["bloom_seen_path"] = round(seen_dt, 3)
-
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        _noop(registry[name](spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
-        # dedup operators persist() intermediate signature/shingle tables for
-        # their own plan reuse; release them between queries so repeated
-        # invocations don't accumulate executor storage.
+    def _bench(name: str, fn, inner_timed: bool = False):
+        """fn returns (payload, sec) when inner_timed (the throughput jobs
+        time their own hot path, excluding input materialization — same
+        definition as every prior round); otherwise wall-time fn()."""
+        ret = fn()  # warm-up: JIT/codegen/broadcast warm, result discarded
         spark.catalog.clearCache()
+        runs = []
+        for _ in range(n_runs):
+            if inner_timed:
+                ret = fn()
+                runs.append(ret[1])
+            else:
+                t0 = time.time()
+                ret = fn()
+                runs.append(time.time() - t0)
+            # dedup operators persist() intermediate signature/shingle
+            # tables for their own plan reuse; release between passes so
+            # repeats don't accumulate executor storage.
+            spark.catalog.clearCache()
+        samples[name] = [round(r, 3) for r in runs]
+        times[name] = round(statistics.median(runs), 3)
+        return ret
+
+    n_urls, _ = _bench(
+        "frontier_dedup_schedule",
+        lambda: frontier_throughput(spark, SF_DIR), inner_timed=True,
+    )
+    n_seen, _ = _bench(
+        "bloom_seen_path",
+        lambda: seen_path_throughput(spark, SF_DIR), inner_timed=True,
+    )
+    for name in BENCH_QUERIES:
+        _bench(name, lambda q=name: _noop(registry[q](spark, SF_DIR)))
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
-        "metric": "headline suite wall-seconds (frontier dedup+schedule + "
+        "metric": "headline suite wall-seconds, per-query median of "
+                  f"{n_runs} warm runs (frontier dedup+schedule + "
                   f"{len(BENCH_QUERIES)} operator queries)",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_all_sec": samples,
+        "runs_per_query": n_runs,
         "sf": _sf(SF_DIR),
         "cpus": CPUS,
         "frontier_urls": n_urls,
-        "frontier_urls_per_sec": round(n_urls / crawl_dt, 1),
-        "seen_path_urls_per_sec": round(n_seen / seen_dt, 1),
+        "frontier_urls_per_sec": round(n_urls / times["frontier_dedup_schedule"], 1),
+        "seen_path_urls_per_sec": round(n_seen / times["bloom_seen_path"], 1),
         "loadavg_before": load_before,
         "loadavg_after": round(os.getloadavg()[0], 2),
     }))

@@ -316,9 +316,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """(id, simhash BIGINT): 32-bit simhash over whitespace tokens (with
     multiplicity). Bit b is set iff the sum over tokens of ±1 (by bit b of
     md5(token)) is ≥ 0. One explode + one groupBy — the aggregation is 32
-    map-side-combinable sums, so the shuffle carries 32 ints per doc."""
+    map-side-combinable sums, so the shuffle carries 32 ints per doc.
+
+    NO ensure_scan_parallelism here (unlike minhash/ngram/ANN): attributing
+    the r3 dedup_simhash bench regression, a guard-on/off A/B at sf0.1
+    (quiet box, warm median-of-5) measured 1.755 s vs 1.505 s — simhash's
+    pre-shuffle map (one md5 per token, 32 arithmetic bit votes) is cheap
+    enough that the guard's repartition costs more than the single-split
+    serialization it avoids; the groupBy right after re-parallelizes
+    anyway. minhash (16 permutations/shingle) and the vector pipelines
+    measured the opposite, so they keep it. Numbers in BASELINE.md."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    ex = ensure_scan_parallelism(docs).select(
+    ex = docs.select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     ).withColumn("h", F.md5("tok"))
 

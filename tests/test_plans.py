@@ -148,3 +148,31 @@ def test_salted_fetch_key_only_splits_mega_hosts(spark):
     by_host = {r.host: r.n for r in keys}
     assert by_host["small.com"] == 1
     assert by_host["big.com"] == 4
+
+
+def test_scan_guard_repartitions_narrow_file_scan_without_rdd_probe(spark):
+    """ensure_scan_parallelism: a one-file parquet scan repartitions up to
+    defaultParallelism; an in-memory frame and a post-guard frame pass
+    through untouched. The probe must stay metadata-only (inputFiles), so
+    the plan string of an untouched frame must not grow an Exchange."""
+    from price_crawler_spark.plans.partitioning import (
+        _size_to_bytes,
+        ensure_scan_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(docs.inputFiles()) < target  # premise: narrow test scan
+    guarded = ensure_scan_parallelism(docs)
+    assert guarded.rdd.getNumPartitions() >= target  # test may probe .rdd
+
+    mem = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    assert ensure_scan_parallelism(mem) is mem  # non-file input untouched
+
+    # size-string parser handles every Spark conf spelling
+    assert _size_to_bytes("134217728") == 134217728
+    assert _size_to_bytes("128m") == 128 << 20
+    assert _size_to_bytes("128MB") == 128 << 20
+    assert _size_to_bytes("1g") == 1 << 30
+    assert _size_to_bytes("512kb") == 512 << 10
+    assert _size_to_bytes("64b") == 64
