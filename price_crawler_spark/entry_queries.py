@@ -1833,6 +1833,50 @@ def q_crawl_search_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen snapshot of the flagship demo's full row content (VERDICT r3 item
+# 5): the synthetic web is deterministic, so the 18 result rows for the
+# fixed query 'RTX 4090' are a stable golden. The literals were generated
+# once from the engine output whose every stage is independently
+# parity-gated (crawl order + URL-seen set vs tests/oracle_crawler.py,
+# per-store extraction vs reference goldens, similarity vs the hash-pinned
+# reference matcher — tests/test_frontier.py, test_extraction.py,
+# test_search.py), so the driver hash now pins the demo's CONTENT, not just
+# its row count. A catalog/matcher change must regenerate them consciously.
+_DEMO_FROZEN_ROWS = [
+    ("coolpc", "MSI RTX 4060 8GB VENTUS 2X", 11098.0, True, 0.269853),
+    ("coolpc", "GIGABYTE RTX 3060 Ti 8GB EAGLE", 15547.0, True, 0.250658),
+    ("coolpc", "ASUS TUF RTX 4060 Ti 16GB", 17863.0, True, 0.272348),
+    ("coolpc", "MSI RTX 3070 8GB Gaming X Trio", 19488.0, True, 0.250658),
+    ("coolpc", "GIGABYTE RTX 4070 12GB WINDFORCE", 22630.0, True, 0.2575),
+    ("coolpc", "ASUS TUF RTX 5070 12GB", 27265.0, True, 0.2675),
+    ("coolpc", "ASUS ROG RTX 3080 10GB STRIX", 28107.0, True, 0.254167),
+    ("coolpc", "MSI RTX 4080 SUPER 16GB Gaming X", 34994.0, True, 0.2575),
+    ("coolpc", "GIGABYTE RTX 5070 Ti 16GB WINDFORCE", 37057.0, True, 0.243314),
+    ("sunfar", "ASUS ROG RTX 4090 24GB GDDR6X", 44171.0, True, 0.70959),
+    ("dtsource", "ASUS ROG RTX 4090 24GB GDDR6X", 44180.0, True, 0.70959),
+    ("autobuy", "ASUS ROG RTX 4090 24GB GDDR6X", 44716.0, True, 0.70959),
+    ("sapphire", "ASUS ROG RTX 4090 24GB GDDR6X", 45407.0, True, 0.70959),
+    ("sinya", "ASUS ROG RTX 4090 24GB GDDR6X", 45468.0, True, 0.70959),
+    ("pchome", "ASUS ROG RTX 4090 24GB GDDR6X", 45915.0, True, 0.70959),
+    ("coolpc", "ASUS ROG RTX 4090 24GB GDDR6X", 45929.0, True, 0.70959),
+    ("coolpc", "MSI RTX 5080 16GB Gaming X Trio", 54693.0, True, 0.249038),
+    ("coolpc", "ASUS ROG RTX 5090 32GB STRIX", 85955.0, True, 0.265278),
+]
+
+_DEMO_FROZEN_SQL = "SELECT * FROM (VALUES\n" + ",\n".join(
+    f"  ('{s}', '{n}', {p!r}, {'TRUE' if st else 'FALSE'}, {sim!r})"
+    for s, n, p, st, sim in _DEMO_FROZEN_ROWS
+) + "\n) AS t(store, product_name, price, in_stock, similarity_score)"
+
+
+@_register("crawl_search_demo_rows", _DEMO_FROZEN_SQL)
+def q_crawl_search_demo_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship demo, hash-verified against its frozen golden rows (see
+    _DEMO_FROZEN_ROWS). Same lazy plan as crawl_search_demo — the memoized
+    per-process store means the crawl runs at most once per process."""
+    return q_crawl_search_demo(spark, sf_dir)
+
+
 # ---- multimodal family -----------------------------------------------------
 
 @_register("multimodal_decode", multimodal.duckdb_decoded_media())
@@ -2119,29 +2163,33 @@ def q_sanjing_card_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry ordering for the driver's capped correctness pass
 # ---------------------------------------------------------------------------
 # The driver verifies roughly the first 50 registry entries per round
-# (CORRECTNESS_r02 covered 50 of 61). Order therefore encodes priority:
-# never-yet-driver-checked and changed-this-round entries first, long-green
-# scalar rows (hash-verified identically in r1 AND r2) last, everything else
-# keeps registration order.
+# (r2: 50 of 61, r3: 50 of 66). Order therefore encodes priority:
+# queries the driver did NOT check last round rotate to the front (so every
+# query is driver-re-verified at least every 2 rounds — VERDICT r3 item 4),
+# then new/changed-this-round entries; rows hash-green in BOTH r2 and r3
+# with untouched code go last, everything else keeps registration order.
 
 _PRIORITY = [
-    # never driver-checked through r2 — must land inside the cap
-    "multimodal_resize", "multimodal_features",
-    "dedup_embedding_cosine", "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_signlsh_topk",
-    "multimodal_decode", "multimodal_frame_sample", "crawl_search_demo",
-    # new or semantics-changed in r3
-    "url_canonicalize_arrow", "pchome_stock", "bundle_detect",
-    "similarity_match", "name_clean_momo", "momo_card_parse",
-    "gh3c_stock", "sanjing_card_parse",
-]
-_DEPRIORITIZED = [
-    # stable scalar rows: hash-green in both r1 and r2, code untouched since
+    # r3-unchecked (all r2-green) — must land inside the cap this round
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_fast",
     "price_extract", "price_strict_filter", "price_format",
     "name_clean", "name_normalize", "search_term_normalize",
-    "name_clean_coolpc", "feature_extract",
-    "dtsource_stock", "sort_by_name", "url_id_extract", "url_absolutize",
-    "ua_rotation",
+    "name_clean_coolpc", "feature_extract", "dtsource_stock",
+    "sort_by_name", "url_id_extract", "url_absolutize", "ua_rotation",
+    # new in r4
+    "coolpc_js_arrays", "crawl_search_demo_rows",
+    # semantics or oracle changed in r4 (ADVICE fixes, guard revert)
+    "momo_card_parse", "sanjing_card_parse", "url_canonicalize_arrow",
+    "dedup_simhash", "crawl_search_demo",
+]
+_DEPRIORITIZED = [
+    # hash-green in BOTH r2 and r3, code untouched in r4
+    "bundle_detect_pchome", "bundle_detect_sinya", "button_stock",
+    "cache_ttl_filter", "detail_stock_enrich", "dtsource_bundle_only",
+    "filter_stats", "generic_json_walk", "js_repair_parse",
+    "json_field_extract", "lineage_counts", "pagination",
+    "pixel_enrich", "pixel_mining", "spec_join", "spec_kv_parse",
+    "stock_predicate", "stock_sapphire",
 ]
 
 

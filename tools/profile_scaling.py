@@ -107,8 +107,14 @@ def run_once(cpus: int, variants: int = int(os.environ.get("SPARK_GRAFT_URL_VARI
     spark.stop()
     time.sleep(2)
 
-    # parse the event log (Spark 4 rolling layout: a directory holding
-    # zstd-compressed events_* files); keep only stages submitted after t0
+    stages = aggregate_event_log(evdir, t0)
+    return {"cpus": cpus, "wall_s": round(wall, 2), "stages": stages}
+
+
+def aggregate_event_log(evdir: str, t_min: float) -> list[dict]:
+    """Parse a Spark event-log dir (Spark 4 rolling layout: a directory of
+    events_* files) into per-stage task-metric aggregates; keeps only
+    stages submitted after ``t_min``. Shared by profile_wave.py."""
     stages: dict[tuple, dict] = {}
 
     def _event_lines():
@@ -137,7 +143,7 @@ def run_once(cpus: int, variants: int = int(os.environ.get("SPARK_GRAFT_URL_VARI
             continue
         if ev.get("Event") == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
-            if si.get("Submission Time", 0) / 1000.0 < t0:
+            if si.get("Submission Time", 0) / 1000.0 < t_min:
                 continue
             key = (si["Stage ID"], si.get("Stage Attempt ID", si.get("Attempt ID", 0)))
             stages[key] = {
@@ -188,8 +194,7 @@ def run_once(cpus: int, variants: int = int(os.environ.get("SPARK_GRAFT_URL_VARI
             "max_task_s",
         ):
             st[k] = round(st[k], 2)
-    return {"cpus": cpus, "wall_s": round(wall, 2),
-            "stages": [stages[k] for k in sorted(stages)]}
+    return [stages[k] for k in sorted(stages)]
 
 
 if __name__ == "__main__":
