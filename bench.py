@@ -7,6 +7,10 @@ Default mode: runs the headline query suite + the frontier throughput job at
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1, "urls_per_sec": N, ...}
 
+Every per-query number is the MEDIAN of ``$SPARK_GRAFT_BENCH_RUNS``
+(default 3) warm passes after one discarded warm-up (r4 noise protocol;
+raw samples in ``queries_all_sec``, box load in ``loadavg_before/after``).
+
 ``--crawl-only`` runs just the frontier job (used by --scaling subprocesses).
 ``--scaling`` runs the identical frontier job at local[8] and local[32] in
 fresh subprocesses and reports throughput at both plus N→4N efficiency —
