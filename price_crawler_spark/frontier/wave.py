@@ -16,6 +16,8 @@ is bit-reproducible regardless of partitioning or core count.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,12 +74,32 @@ class CrawlRun:
         self.bloom = bloom or ShardedBloom()
         self.robots = spark.createDataFrame(robots or robots_rows())
         self.mega_hosts = mega_hosts or ["www.coolpc.com.tw"]
+        # driver-step wall seconds, accumulated across waves. The wave loop
+        # has exactly four blocking driver actions (everything between them
+        # is lazy plan building), so these four cover the whole wave wall:
+        # pending_probe | fetch (politeness+schedule+fetch UDF, materialized
+        # by fetched.count) | children (canonicalize+bloom+seen, by
+        # new_children.count) | commit (the concurrent snapshot writes).
+        # Used by tools/profile_wave.py; event-log stage names can't
+        # attribute these (the commit's concurrent writes all surface as
+        # anonymous CompletableFuture callsites).
+        self.phase_seconds: dict[str, float] = {}
+
+    def _phase(self, name: str, t0: float) -> None:
+        self.phase_seconds[name] = self.phase_seconds.get(name, 0.0) + (
+            time.time() - t0
+        )
 
     # -- state ---------------------------------------------------------------
 
     def _init_if_needed(self) -> None:
         if self.store.current() is not None:
             return
+        t0 = time.time()
+        self._init_inner()
+        self._phase("init_seed_commit", t0)
+
+    def _init_inner(self) -> None:
         frontier = seeds.seed_frontier(self.spark, self.queries).select(
             *FRONTIER_COLS
         )
@@ -113,7 +135,10 @@ class CrawlRun:
         wave = self.next_wave()
         frontier = self.frontier()
         pending = frontier.filter(F.col("status") == "pending")
-        if pending.limit(1).count() == 0:
+        t0 = time.time()
+        drained = pending.limit(1).count() == 0
+        self._phase("pending_probe", t0)
+        if drained:
             return False
 
         sched, deferred, blocked = politeness.schedule_wave(
@@ -127,7 +152,9 @@ class CrawlRun:
         # expensive stage) that multiplied the cost by the number of
         # consumers until this count().
         fetched = fetch_scheduled(sched).persist()
+        t0 = time.time()
         fetched.count()
+        self._phase("fetch", t0)
         ok = fetched.filter("ok")
         failed = fetched.filter(~F.col("ok"))
 
@@ -166,7 +193,9 @@ class CrawlRun:
             .select(*FRONTIER_COLS)
             .persist()
         )
+        t0 = time.time()
         new_children.count()
+        self._phase("children_seen", t0)
 
         done_ok = ok.select(*[c for c in FRONTIER_COLS if c != "status"]).withColumn(
             "status", F.lit("fetched")
@@ -200,6 +229,7 @@ class CrawlRun:
 
         new_bloom = self.bloom.insert(new_children.select("url_hash"), bloom_table)
 
+        t0 = time.time()
         self.store.commit(
             tables_replace={"frontier": new_frontier, "bloom": new_bloom},
             tables_append={
@@ -209,6 +239,7 @@ class CrawlRun:
             },
             meta={"next_wave": wave + 1, "queries": self.queries},
         )
+        self._phase("commit", t0)
         fetched.unpersist()
         new_children.unpersist()
         return True

@@ -1,12 +1,17 @@
 """Stage-level decomposition of the full wave loop (bench.py --engine).
 
 VERDICT r3 item 8: the wave loop plateaus ~3 orders of magnitude below the
-standalone frontier bound; this tool attributes the gap with event-log
-task metrics so the 10^8-URL-wave extrapolation in BASELINE.md rests on a
-measured stage breakdown instead of "fetch UDF + commit overhead by
-design". Stages are bucketed by which pipeline phase owns them (matched on
-the stage's callsite name), then each bucket reports wall seconds, summed
-executor run seconds, python-worker-visible run time, and shuffle volume.
+standalone frontier bound; this tool attributes the gap so the
+10^8-URL-wave extrapolation in BASELINE.md rests on a measured stage
+breakdown instead of "fetch UDF + commit overhead by design".
+
+Primary attribution: ``CrawlRun.phase_seconds`` — the wave loop's four
+blocking driver steps (pending_probe / fetch / children_seen / commit)
+cover the whole wave wall, measured in the driver where they're
+unambiguous. The event-log per-stage metrics are reported as a secondary
+view (summed run/GC/shuffle), but the commit's concurrent table writes all
+surface as anonymous CompletableFuture callsites, so stage NAMES cannot
+attribute phases — that's why the driver-step timers exist.
 
 Usage: PYTHONPATH=/root/repo python tools/profile_wave.py [cpus] [queries]
 """
@@ -24,26 +29,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from profile_scaling import aggregate_event_log  # noqa: E402
-
-# callsite substring -> pipeline phase. The wave loop's actions all funnel
-# through a handful of driver callsites (wave.py / store.py / seen.py), so
-# the stage name's first line identifies the owner.
-PHASES = [
-    ("fetch", "fetch UDF + persist count (run_wave fetched.count)"),
-    ("seen", "bloom/exact URL-seen path"),
-    ("store", "snapshot commit (parquet writes)"),
-    ("politeness", "politeness schedule"),
-    ("wave", "other wave-loop driver steps"),
-]
-
-
-def classify(stage_name: str) -> str:
-    s = stage_name.lower()
-    for key, _ in PHASES:
-        if key in s:
-            return key
-    return "other"
-
 
 def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
@@ -79,27 +64,13 @@ def main() -> None:
         n_docs = run.documents().count()
         n_urls = run.frontier().count()
         wall = time.time() - t0
+        phase_seconds = dict(run.phase_seconds)
     spark.stop()
     time.sleep(2)
 
     stages = aggregate_event_log(evdir, t0)
-    buckets: dict[str, dict] = {}
-    for st in stages:
-        b = buckets.setdefault(
-            classify(st["name"]),
-            {"stages": 0, "wall_s": 0.0, "run_s": 0.0, "gc_s": 0.0,
-             "sh_write_mb": 0.0, "max_task_s": 0.0},
-        )
-        b["stages"] += 1
-        b["wall_s"] += st["wall_s"]
-        b["run_s"] += st["run_s"]
-        b["gc_s"] += st["gc_s"]
-        b["sh_write_mb"] += st["sh_write_mb"]
-        b["max_task_s"] = max(b["max_task_s"], st["max_task_s"])
-    for b in buckets.values():
-        for k in ("wall_s", "run_s", "gc_s", "sh_write_mb", "max_task_s"):
-            b[k] = round(b[k], 2)
-    top = sorted(stages, key=lambda s: -s["wall_s"])[:12]
+    phases = {k: round(v, 2) for k, v in phase_seconds.items()}
+    top = sorted(stages, key=lambda s: -s["wall_s"])[:8]
     print(json.dumps({
         "cpus": cpus,
         "queries": n_queries,
@@ -108,8 +79,15 @@ def main() -> None:
         "frontier_urls": n_urls,
         "wall_s": round(wall, 2),
         "urls_per_sec": round(n_docs / wall, 1),
-        "stage_wall_sum_s": round(sum(s["wall_s"] for s in stages), 2),
-        "phase_buckets": buckets,
+        "driver_phase_seconds": phases,
+        "phase_coverage_of_wall": round(sum(phases.values()) / wall, 3),
+        "eventlog_totals": {
+            "stage_wall_sum_s": round(sum(s["wall_s"] for s in stages), 2),
+            "executor_run_sum_s": round(sum(s["run_s"] for s in stages), 2),
+            "gc_sum_s": round(sum(s["gc_s"] for s in stages), 2),
+            "shuffle_write_mb": round(sum(s["sh_write_mb"] for s in stages), 2),
+            "n_stages": len(stages),
+        },
         "top_stages_by_wall": top,
     }, indent=1))
 
