@@ -242,3 +242,69 @@ def test_blocked_jaccard_fast_family_same_values(spark):
     p = {(r.id_a, r.id_b): r.jaccard for r in dedup.blocked_jaccard_pairs(df).collect()}
     f = {(r.id_a, r.id_b): r.jaccard for r in dedup.blocked_jaccard_pairs(df, family="fast").collect()}
     assert p == f  # jaccard over hashed sets is hash-family-invariant (no collisions here)
+
+
+def test_dedup_families_on_adversarial_docs(spark):
+    """Empty text, sub-shingle-length text, NULL text, whitespace-only,
+    unicode exact duplicates, and a 2000-token doc must neither crash any
+    family nor suppress the one real duplicate pair (verify-skill probes,
+    r4)."""
+    from price_crawler_spark.pipeline import dedup as D
+
+    rows = [
+        ("d0", "", "s"), ("d1", "ab", "s"), ("d2", None, "s"),
+        ("d3", "完全 相同 的 文本 內容 重複", "s"),
+        ("d4", "完全 相同 的 文本 內容 重複", "s"),
+        ("d5", "   ", "s"), ("d6", "x " * 2000, "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+    for fam in ("portable", "fast"):
+        pairs = D.minhash_lsh_pairs(docs, family=fam).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [
+            ("d3", "d4", 1.0)
+        ], fam
+    ng = D.blocked_jaccard_pairs(docs).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in ng] == [("d3", "d4", 1.0)]
+    # blockless mode (block_cols=()) degrades to all-pairs, same answer here
+    assert len(D.blocked_jaccard_pairs(docs, block_cols=()).collect()) == 1
+    # simhash emits one row per non-degenerate doc, never crashes on the rest
+    sh = D.simhash(docs).collect()
+    assert len(sh) == 6  # only the NULL-text doc drops (no tokens)
+
+
+def test_coolpc_js_arrays_adversarial_pages(spark):
+    """NULL page, empty page, 19-digit overflow-ish price, a 500-element
+    Header (dropped by the len==2 quirk), and 300 duplicate c1 arrays
+    (last-wins collapses to ONE entry)."""
+    from pyspark.sql import functions as F
+
+    from price_crawler_spark.operators.extraction import coolpc_js_arrays
+
+    h = spark.createDataFrame(
+        [(None,), ("",), ("c1=[999999999999999999]",),
+         ("Header=[" + "1," * 500 + "]",), ("c1=[1,2] " * 300,)],
+        "html string",
+    )
+    out = h.select(coolpc_js_arrays("html").alias("a")).collect()
+    sizes = [len(r["a"]) if r["a"] is not None else None for r in out]
+    assert sizes == [None, 0, 1, 0, 1]
+    assert out[2]["a"][0]["values"] == [999999999999999999.0]
+
+
+def test_canonicalizer_impls_agree_on_junk(spark):
+    """Degenerate URLs (NULL, empty, bare scheme, unicode host/query, 5k-char
+    tail, 1000-segment path) canonicalize identically through the expression
+    chain and the Arrow kernel batch."""
+    from price_crawler_spark.functions.urls import (
+        canonicalize_with_host,
+        canonicalize_with_host_arrow,
+    )
+
+    junk = [None, "", "   ", "####", "http://", "://x", "http://:80",
+            "https://例子.中国/路径?ключ=значение#f", "a" * 5000,
+            "http://h/" + "p/" * 1000]
+    df = spark.createDataFrame([(u,) for u in junk], "u string")
+    a = df.select(canonicalize_with_host("u").alias("c")).collect()
+    b = df.select(canonicalize_with_host_arrow("u").alias("c")).collect()
+    assert [tuple(r["c"]) for r in a] == [tuple(r["c"]) for r in b]
