@@ -110,7 +110,7 @@ class CrawlRun:
         seen = frontier.select("url_hash").distinct()
         bloom_table = self.bloom.insert(frontier.select("url_hash"), None)
         self.store.commit(
-            tables_replace={"frontier": frontier, "bloom": bloom_table},
+            tables_replace={"pending": frontier, "bloom": bloom_table},
             tables_append={"seen": seen},
             meta={"next_wave": 0, "queries": self.queries},
         )
@@ -119,7 +119,22 @@ class CrawlRun:
         return int(self.store.latest_meta().get("next_wave", 0))
 
     def frontier(self) -> DataFrame:
-        return self.store.read(self.spark, "frontier")
+        """Full frontier view = live ``pending`` table ∪ append-only
+        ``frontier_log`` of terminal rows (fetched/failed/blocked).
+
+        The split is the 100 TB write-path design (r4): a wave REPLACES
+        only the bounded pending set (deferred + retries + new children —
+        O(wave), not O(corpus)) and APPENDS the rows that just became
+        terminal; terminal rows are immutable, so the dominant mass of a
+        10^10-row frontier is never rewritten. The previous layout rewrote
+        the whole frontier every wave — a full-corpus copy-on-write per
+        wave at scale. Maps to Iceberg as partition-overwrite on pending +
+        fast appends on the log."""
+        pending = self.store.read(self.spark, "pending")
+        log = self.store.read(self.spark, "frontier_log")
+        if log is None:
+            return pending
+        return pending.unionByName(log)
 
     def documents(self) -> DataFrame | None:
         return self.store.read(self.spark, "documents")
@@ -133,10 +148,11 @@ class CrawlRun:
         """Execute one wave; returns False when the frontier is drained."""
         self._init_if_needed()
         wave = self.next_wave()
-        frontier = self.frontier()
-        pending = frontier.filter(F.col("status") == "pending")
+        # the pending table IS the live frontier — no full-table status
+        # filter needed (terminal rows live in the append-only log)
+        pending = self.store.read(self.spark, "pending")
         t0 = time.time()
-        drained = pending.limit(1).count() == 0
+        drained = pending is None or pending.limit(1).count() == 0
         self._phase("pending_probe", t0)
         if drained:
             return False
@@ -183,7 +199,7 @@ class CrawlRun:
         seen = self.store.read(self.spark, "seen")
         bloom_table = self.store.read(self.spark, "bloom")
         # Persist + materialize ONCE: three of the commit's concurrent table
-        # writes (frontier replace, seen append, bloom replace) consume
+        # writes (pending replace, seen append, bloom replace) consume
         # new_children, and without a persist each would recompute the whole
         # child pipeline — Arrow canonicalize + Bloom-probe cogroup + exact
         # anti-join — tripling commit cost (measured: the commit dominated
@@ -207,14 +223,22 @@ class CrawlRun:
             ),
         )
 
-        history = frontier.filter(F.col("status") != "pending")
-        new_frontier = (
-            history.select(*FRONTIER_COLS)
-            .unionByName(deferred.select(*FRONTIER_COLS))
-            .unionByName(blocked.select(*FRONTIER_COLS))
-            .unionByName(done_ok.select(*FRONTIER_COLS))
-            .unionByName(retried.select(*FRONTIER_COLS))
+        # Delta layout: the REPLACED pending table carries only live rows
+        # (O(wave)); rows that just became terminal APPEND to frontier_log
+        # and are never touched again. No O(corpus) rewrite per wave.
+        new_pending = (
+            deferred.select(*FRONTIER_COLS)
+            .unionByName(
+                retried.filter(F.col("status") == "pending").select(*FRONTIER_COLS)
+            )
             .unionByName(new_children)
+        )
+        newly_terminal = (
+            done_ok.select(*FRONTIER_COLS)
+            .unionByName(blocked.select(*FRONTIER_COLS))
+            .unionByName(
+                retried.filter(F.col("status") == "failed").select(*FRONTIER_COLS)
+            )
         )
 
         log = (
@@ -231,8 +255,9 @@ class CrawlRun:
 
         t0 = time.time()
         self.store.commit(
-            tables_replace={"frontier": new_frontier, "bloom": new_bloom},
+            tables_replace={"pending": new_pending, "bloom": new_bloom},
             tables_append={
+                "frontier_log": newly_terminal,
                 "seen": new_children.select("url_hash"),
                 "documents": docs,
                 "fetch_log": log,
