@@ -1,8 +1,9 @@
 """The crawl wave loop — iterative batch over the frontier table with
 atomic per-wave snapshot commits (SURVEY.md §2.9, §7.1 steps 3-4, 7).
 
-Each wave is one logical Iceberg commit containing: new frontier state
-(replace), Bloom shards (replace), seen-set delta (append), fetched
+Each wave is one logical Iceberg commit containing: the live pending set
+(replace — bounded O(wave)), newly-terminal frontier rows (append-only
+log), Bloom shards (replace), seen-set delta (append), fetched
 documents (append), and per-host fetch lineage/metrics (append). A killed
 run resumes from the last committed wave; the interrupted wave re-runs
 idempotently (deterministic fetch; nothing partial was visible) — the north
