@@ -513,3 +513,29 @@ def test_live_transport_env_gate(spark, tmp_path):
     assert os.environ.get(LIVE_TRANSPORT_ENV) != "1"
     # the standard frontier tests above already exercise fetch_scheduled on
     # the synthetic path; this pins the gate's default
+
+
+def test_frontier_commit_is_delta_not_full_rewrite(crawl, spark):
+    """100 TB write-path invariant (r4): each wave REPLACES only the bounded
+    pending table (manifest holds exactly one file group for it) and
+    APPENDS terminal rows to frontier_log (≤ one group per wave, never
+    rewritten — every group path recorded in an earlier snapshot must
+    still be listed verbatim in the latest one). The union view stays
+    status-consistent: pending holds only 'pending' rows, the log only
+    terminal ones, with no url_hash overlap."""
+    manifest = crawl.store._read_manifest()
+    snaps = manifest["snapshots"]
+    latest = snaps[-1]["tables"]
+    assert len(latest["pending"]) == 1  # replaced, not accumulated
+    assert 1 <= len(latest["frontier_log"]) <= len(snaps) - 1
+    for snap in snaps:
+        prior = snap["tables"].get("frontier_log", [])
+        assert latest["frontier_log"][: len(prior)] == prior  # append-only
+
+    pending = crawl.store.read(spark, "pending")
+    log = crawl.store.read(spark, "frontier_log")
+    assert pending.filter("status != 'pending'").count() == 0
+    assert log.filter("status = 'pending'").count() == 0
+    assert (
+        pending.select("url_hash").intersect(log.select("url_hash")).count() == 0
+    )
