@@ -302,6 +302,7 @@ def run_engine() -> None:
         n_docs = run.documents().count()
         n_urls = run.frontier().count()
         dt = time.time() - t0
+        phases = {k: round(v, 2) for k, v in run.phase_seconds.items()}
     print(json.dumps({
         "metric": "wave-loop end-to-end URLs/sec (incl. commits, bloom, retries)",
         "waves": waves,
@@ -309,6 +310,7 @@ def run_engine() -> None:
         "docs_fetched": n_docs,
         "sec": round(dt, 2),
         "urls_per_sec": round(n_docs / dt, 1),
+        "driver_phase_seconds": phases,
         "catalog_n": int(os.environ["SPARK_GRAFT_CATALOG_N"]),
         "cpus": CPUS,
     }))
