@@ -1652,6 +1652,95 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- streaming stateful seen (driver oracle — VERDICT r4 item 2) -----------
+
+@_register(
+    "streaming_seen_equiv",
+    """WITH c AS (
+  SELECT 'https://shop' || CAST(o_custkey % 8 AS VARCHAR)
+         || '.example.com/item/' || CAST(o_orderkey % 1000 AS VARCHAR)
+           AS canonical_url,
+         o_orderkey % 4 AS batch
+  FROM orders)
+SELECT canonical_url, CAST(min(batch) AS BIGINT) AS first_batch
+FROM c GROUP BY canonical_url""",
+)
+def q_streaming_seen_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming J2 twin (north rule URL-seen): an ACTUAL Structured
+    Streaming run of the applyInPandasWithState sharded first-seen dedup
+    (streaming/seen_state.py) over 4 file-source micro-batches must equal
+    the batch first-wins answer — the only component family that had no
+    CORRECTNESS row before r5.
+
+    Harness: candidate URLs derive from ``orders`` (same expression as the
+    oracle SQL), staged as one parquet file per micro-batch with strictly
+    increasing mtimes so the file source (oldest-first, maxFilesPerTrigger=1)
+    replays them in batch order; ``foreachBatch`` tags each emission with
+    its epoch id. ``first_batch`` = the epoch a URL was FIRST emitted in, so
+    a state bug that re-emits (or forgets) a URL across batches fails the
+    row count AND the value hash, not just a set compare. The driver-side
+    collection is the bounded distinct-URL result (the same thing the
+    driver collects to hash anyway); a production run would point
+    writeStream at a parquet/Iceberg sink instead."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from price_crawler_spark.streaming.seen_state import streaming_first_seen
+
+    tbl = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    urls = (
+        "https://shop" + (tbl["o_custkey"] % 8).astype(str)
+        + ".example.com/item/" + (tbl["o_orderkey"] % 1000).astype(str)
+    )
+    batch = tbl["o_orderkey"] % 4
+
+    root = tempfile.mkdtemp(prefix="pcs_stream_seen_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        for b in range(4):
+            path = os.path.join(in_dir, f"batch{b}.parquet")
+            pd.DataFrame({"canonical_url": urls[batch == b]}).to_parquet(
+                path, index=False
+            )
+            os.utime(path, (1_000_000 + b, 1_000_000 + b))
+
+        stream = (
+            spark.readStream.schema("canonical_url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .withColumn("url_hash", F.xxhash64("canonical_url"))
+            .select("url_hash", "canonical_url")
+        )
+        out = streaming_first_seen(stream)
+        collected: list[pd.DataFrame] = []
+
+        def _sink(df: DataFrame, epoch_id: int) -> None:
+            pdf = df.select("canonical_url").toPandas()
+            pdf["first_batch"] = int(epoch_id)
+            collected.append(pdf)
+
+        q = (
+            out.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    result = pd.concat(collected, ignore_index=True)
+    return spark.createDataFrame(
+        result, schema="canonical_url string, first_batch long"
+    )
+
+
 # ---- similarity (J1 — difflib pandas UDF; no SQL equivalent) ---------------
 
 # J1's Ratcliff-Obershelp blend has no SQL mirror (difflib), so the oracle
@@ -2226,33 +2315,46 @@ def q_sanjing_card_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry ordering for the driver's capped correctness pass
 # ---------------------------------------------------------------------------
 # The driver verifies roughly the first 50 registry entries per round
-# (r2: 50 of 61, r3: 50 of 66). Order therefore encodes priority:
-# queries the driver did NOT check last round rotate to the front (so every
-# query is driver-re-verified at least every 2 rounds — VERDICT r3 item 4),
-# then new/changed-this-round entries; rows hash-green in BOTH r2 and r3
-# with untouched code go last, everything else keeps registration order.
+# (r2: 50 of 61, r3: 50 of 66, r4: 49 of 68). Order therefore encodes
+# priority: queries the driver did NOT check last round rotate to the front
+# (so every query is driver-re-verified at least every 2 rounds — VERDICT
+# r3 item 4, re-pointed at the 18 r4-unchecked by VERDICT r4 item 4), then
+# new/changed-this-round entries; rows hash-green in r4 with untouched code
+# go last, everything else keeps registration order.
 
 _PRIORITY = [
-    # r3-unchecked (all r2-green) — must land inside the cap this round
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_fast",
-    "price_extract", "price_strict_filter", "price_format",
-    "name_clean", "name_normalize", "search_term_normalize",
-    "name_clean_coolpc", "feature_extract", "dtsource_stock",
-    "sort_by_name", "url_id_extract", "url_absolutize", "ua_rotation",
-    # new in r4
-    "coolpc_js_arrays", "crawl_search_demo_rows",
-    # semantics or oracle changed in r4 (ADVICE fixes, guard revert)
-    "momo_card_parse", "sanjing_card_parse", "url_canonicalize_arrow",
-    "dedup_simhash", "crawl_search_demo",
-]
-_DEPRIORITIZED = [
-    # hash-green in BOTH r2 and r3, code untouched in r4
+    # the 18 r4-unchecked (all r3-green) — must land inside the cap this
+    # round (VERDICT r4 item 4 lists them by name)
     "bundle_detect_pchome", "bundle_detect_sinya", "button_stock",
     "cache_ttl_filter", "detail_stock_enrich", "dtsource_bundle_only",
     "filter_stats", "generic_json_walk", "js_repair_parse",
     "json_field_extract", "lineage_counts", "pagination",
     "pixel_enrich", "pixel_mining", "spec_join", "spec_kv_parse",
     "stock_predicate", "stock_sapphire",
+    # new in r5
+    "streaming_seen_equiv",
+    # plan changed in r5: the scan-parallelism guard now bin-packs with
+    # openCostInBytes (ADVICE r4) — re-verify every query that calls it
+    "dedup_minhash_lsh", "dedup_minhash_lsh_fast", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+]
+_DEPRIORITIZED = [
+    # hash-green in r4, code untouched in r5
+    "dedup_exact", "price_extract", "price_strict_filter", "price_format",
+    "name_clean", "name_normalize", "search_term_normalize",
+    "name_clean_coolpc", "feature_extract", "dtsource_stock",
+    "sort_by_name", "url_id_extract", "url_absolutize", "ua_rotation",
+    "coolpc_js_arrays", "crawl_search_demo_rows", "momo_card_parse",
+    "sanjing_card_parse", "url_canonicalize_arrow", "dedup_simhash",
+    "crawl_search_demo", "name_clean_momo", "coolpc_option_scan",
+    "bundle_detect", "pchome_stock", "sinya_detail_stock",
+    "url_canonicalize", "dedup_first_wins", "politeness_quota",
+    "topk_per_store", "price_stats", "store_stats",
+    "windowed_event_counts", "similarity_match", "text_language_id",
+    "text_quality", "text_token_counts", "text_fingerprint",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_signlsh_topk",
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_features", "gh3c_stock",
 ]
 
 

@@ -115,6 +115,13 @@ def coolpc_js_arrays(html) -> F.Column:
         ``match[1]`` (the payload's SECOND character) is what gets split;
       * elements ``''`` and ``'0'`` become 0, everything else ``float``;
       * duplicate array names: last occurrence wins (dict overwrite).
+        DELIBERATE order divergence (ADVICE r4): the kept entry surfaces at
+        its LAST occurrence's position, whereas the reference's dict keeps
+        first-insertion order with the updated value. Unobservable today —
+        the parity test compares dicts and all consumers explode
+        order-insensitively — documented so the drift is a decision, not an
+        accident. If entry order ever becomes significant, re-sort kept
+        entries by each name's FIRST occurrence position.
 
     Returns ``array<struct<array_name:string, values:array<double>>>`` —
     pure expression chain (regexp_extract_all + higher-order functions),

@@ -69,12 +69,17 @@ def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
     The probe is METADATA-ONLY (VERDICT r3 item 7): ``df.inputFiles()``
     costs one analysis pass, not the full optimize+physical-plan+RDD-DAG
     build that ``df.rdd.getNumPartitions()`` forced on every pipeline
-    entry. Split count is estimated as sum(ceil(file_size /
-    maxPartitionBytes)); a non-local file whose size can't be stat'd counts
-    as one split (under-estimating only risks one cheap skinny-row
-    shuffle, never a wrong result). Non-file inputs (in-memory test frames,
-    post-shuffle plans) are left untouched — their parallelism is already
-    the session's.
+    entry. Split count mirrors Spark's bin-packing (ADVICE r4): every file
+    contributes ``size + openCostInBytes`` and chunks pack into bins of
+    ``maxPartitionBytes``, so a scan of many TINY files — which Spark packs
+    into 1-2 partitions — is estimated as the few bins it really becomes,
+    not as one split per file (the old ``len(files) >= target`` early exit
+    equated file count with partition count and silently skipped the
+    repartition exactly there). A non-local file whose size can't be
+    stat'd contributes openCost only (under-estimating only risks one
+    cheap skinny-row shuffle, never a wrong result). Non-file inputs
+    (in-memory test frames, post-shuffle plans) are left untouched — their
+    parallelism is already the session's.
     """
     import math
     import os
@@ -84,21 +89,19 @@ def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
     files = df.inputFiles()
     if not files:
         return df
-    if len(files) >= target:
-        return df  # wide scan — guard is a no-op, nothing else to check
-    max_bytes = _size_to_bytes(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
-    )
-    splits = 0
+    conf = df.sparkSession.conf
+    max_bytes = _size_to_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_to_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    packed = 0  # bytes accumulated into bins so far (size + openCost per file)
     for uri in files:
         p = urlparse(uri)
         try:
             size = os.path.getsize(p.path if p.scheme in ("", "file") else uri)
-            splits += max(1, math.ceil(size / max_bytes))
         except OSError:
-            splits += 1
-        if splits >= target:
-            return df
+            size = 0
+        packed += size + open_cost
+        if math.ceil(packed / max_bytes) >= target:
+            return df  # enough estimated bins — wide scan, guard is a no-op
     return df.repartition(target)
 
 
