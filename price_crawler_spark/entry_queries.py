@@ -1750,7 +1750,10 @@ def q_streaming_seen_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total order. Algorithmic independence comes from the parity pytest that
 # executes the hash-pinned reference matcher over adversarial pairs
 # (tests/test_search.py:38); this literal pins the CONTENT so the driver
-# hash catches drift the rows-only check could not.
+# hash catches drift the rows-only check could not. Since r5 the literal is
+# additionally RE-DERIVED at test time from the pinned reference matcher
+# over the real sf0.01 part names (tests/test_frozen_goldens.py) — no
+# longer merely a snapshot of engine output.
 _SIM_FROZEN_EXACT = [
     1, 28, 112, 113, 119, 264, 267, 311, 387, 401, 493, 519, 527, 546, 553,
     584, 600, 810, 834, 887, 889, 1019, 1109, 1190, 1201, 1290, 1453, 1508,
@@ -1841,7 +1844,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 25 near-dup pairs. Independence: the agreement pytest asserts the fast
 # family finds the same verified pairs as the portable md5 family (whose
 # own DuckDB oracle recomputes end-to-end), and the exact-Jaccard verify
-# step is shared; this literal adds driver-hash content pinning.
+# step is shared; this literal adds driver-hash content pinning. Since r5
+# it is additionally RE-DERIVED at test time from the portable family's
+# independent DuckDB recomputation (tests/test_frozen_goldens.py).
 _MINHASH_FAST_FROZEN = [
     (8, 245, 0.987805), (26, 455, 0.9), (31, 383, 0.97619),
     (44, 446, 0.956522), (45, 267, 0.974026), (45, 413, 0.987013),
@@ -1976,6 +1981,9 @@ def q_crawl_search_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference matcher — tests/test_frontier.py, test_extraction.py,
 # test_search.py), so the driver hash now pins the demo's CONTENT, not just
 # its row count. A catalog/matcher change must regenerate them consciously.
+# Since r5 the rows are additionally RE-DERIVED at test time from the
+# synthetic catalog's ground-truth functions + the pinned reference matcher
+# — no crawl, no extraction, no Spark (tests/test_frozen_goldens.py).
 _DEMO_FROZEN_ROWS = [
     ("coolpc", "MSI RTX 4060 8GB VENTUS 2X", 11098.0, True, 0.269853),
     ("coolpc", "GIGABYTE RTX 3060 Ti 8GB EAGLE", 15547.0, True, 0.250658),

@@ -153,12 +153,16 @@ _EXTRA_FIELDS = [
 ]
 
 
-def fetch_scheduled(sched: DataFrame) -> DataFrame:
+def fetch_scheduled(
+    sched: DataFrame, fail_hosts: list[str] | None = None
+) -> DataFrame:
     """scheduled frontier rows -> rows + (ok, spans_json, links_json).
 
     Grouped by ``host_salt`` when present (C6: a mega host's quota-selected
     URLs spread over salt buckets, each bucket one Arrow batch), else by
-    true host."""
+    true host. ``fail_hosts`` is a synthetic-transport harness knob: every
+    fetch for those hosts fails (persistent-failure drain audit)."""
+    fail_set = frozenset(fail_hosts or ())
     group_key = "host_salt" if "host_salt" in sched.columns else "host"
     keep = [c for c in sched.columns if c not in ("crawl_delay", "host_salt")]
     out_schema = T.StructType(
@@ -177,7 +181,9 @@ def fetch_scheduled(sched: DataFrame) -> DataFrame:
         live = os.environ.get(LIVE_TRANSPORT_ENV) == "1"
         session = live_session() if live else None
         oks, spans_js, links_js = [], [], []
-        for url, store, attempts in zip(pdf["url"], pdf["store"], pdf["attempts"]):
+        for url, store, attempts, host in zip(
+            pdf["url"], pdf["store"], pdf["attempts"], pdf["host"]
+        ):
             if live:
                 # live seam: raw body becomes one ('html', body) span; the
                 # P1 spans emitter (lxml batch parse) is the documented
@@ -195,7 +201,7 @@ def fetch_scheduled(sched: DataFrame) -> DataFrame:
                 )
                 links_js.append(None if body is None else "[]")
                 continue
-            if fetch_fails(url, int(attempts)):
+            if host in fail_set or fetch_fails(url, int(attempts)):
                 oks.append(False)
                 spans_js.append(None)
                 links_js.append(None)

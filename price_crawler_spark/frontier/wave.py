@@ -66,13 +66,30 @@ class CrawlRun:
         bloom: ShardedBloom | None = None,
         robots: list[dict] | None = None,
         mega_hosts: list[str] | None = None,
+        seen_filter: str = "bloom",
+        fail_hosts: list[str] | None = None,
     ):
         self.spark = spark
         self.store = SnapshotStore(root)
         self.queries = sorted(queries)
         self.wave_seconds = wave_seconds
         self.max_retries = max_retries
-        self.bloom = bloom or ShardedBloom()
+        # the probabilistic URL-seen prefilter; the snapshot table is named
+        # "bloom" for both variants. seen_filter='cuckoo' swaps in the
+        # deletion-capable ShardedCuckoo (north rule fallback) — required
+        # for invalidate(); an explicit `bloom` object wins over the name.
+        if bloom is not None:
+            self.bloom = bloom
+        elif seen_filter == "cuckoo":
+            from price_crawler_spark.frontier.seen import ShardedCuckoo
+
+            self.bloom = ShardedCuckoo()
+        else:
+            self.bloom = ShardedBloom()
+        # harness knob: hosts whose SYNTHETIC fetches always fail — used to
+        # audit pending-table drain under a persistently-dead host (a URL
+        # must exit to frontier_log after max_retries, never cycle forever)
+        self.fail_hosts = fail_hosts
         self.robots = spark.createDataFrame(robots or robots_rows())
         self.mega_hosts = mega_hosts or ["www.coolpc.com.tw"]
         # driver-step wall seconds, accumulated across waves. The wave loop
@@ -153,9 +170,13 @@ class CrawlRun:
         # filter needed (terminal rows live in the append-only log)
         pending = self.store.read(self.spark, "pending")
         t0 = time.time()
-        drained = pending is None or pending.limit(1).count() == 0
+        # full count, not limit(1): parquet row-count comes from footer
+        # metadata (no data scan), and the number feeds the fetch_log's
+        # pending_size lineage column (drain observability — a persistently
+        # failing host must show pending shrinking wave over wave)
+        n_pending = 0 if pending is None else pending.count()
         self._phase("pending_probe", t0)
-        if drained:
+        if n_pending == 0:
             return False
 
         sched, deferred, blocked = politeness.schedule_wave(
@@ -168,7 +189,7 @@ class CrawlRun:
         # recompute the partition — for the fetch UDF (the wave's most
         # expensive stage) that multiplied the cost by the number of
         # consumers until this count().
-        fetched = fetch_scheduled(sched).persist()
+        fetched = fetch_scheduled(sched, fail_hosts=self.fail_hosts).persist()
         t0 = time.time()
         fetched.count()
         self._phase("fetch", t0)
@@ -243,13 +264,24 @@ class CrawlRun:
         )
 
         log = (
-            fetched.groupBy("wave", "host", "store")
+            fetched.groupBy("host", "store")
             .agg(
                 F.count("*").alias("n_scheduled"),
                 F.sum(F.col("ok").cast("int")).alias("n_ok"),
                 F.sum((~F.col("ok")).cast("int")).alias("n_failed"),
             )
+            # the ACTUAL fetch wave (this loop's), like docs — the row's own
+            # wave column is its ENQUEUE wave, which mis-filed retries
+            # fetched in a later wave under their original one
+            .withColumn("wave", F.lit(wave))
             .withColumn("n_partitions", F.lit(self.spark.sparkContext.defaultParallelism))
+            # pending-table size at this wave's START (drain audit — VERDICT
+            # r4 item 6): one scalar per wave, stamped on every host row
+            .withColumn("pending_size", F.lit(n_pending))
+            .select(
+                "wave", "host", "store", "n_scheduled", "n_ok", "n_failed",
+                "n_partitions", "pending_size",
+            )
         )
 
         new_bloom = self.bloom.insert(new_children.select("url_hash"), bloom_table)
@@ -275,6 +307,84 @@ class CrawlRun:
         n = 0
         while n < max_waves and self.run_wave():
             n += 1
+        return n
+
+    # -- re-crawl invalidation (north rule's deletion case) -------------------
+
+    def invalidate(self, urls: list[str]) -> int:
+        """Delete fetched URLs from the URL-seen layer and re-enqueue them,
+        so the next wave re-fetches each EXACTLY once (re-crawl
+        invalidation — the case the north rule's cuckoo fallback exists
+        for; Bloom bits cannot be unset, so this requires
+        ``seen_filter='cuckoo'``).
+
+        The cycle runs the REAL paths end-to-end: cuckoo ``delete`` on the
+        filter shards + anti-join removal from the exact seen table, then
+        the re-enqueued rows go back through the NORMAL enqueue gate
+        (``filter_new`` probe + filter insert + seen re-add) — so a later
+        re-discovery of the same URL is deduped again, and the final seen
+        set stays exact. The old document rows are kept (a re-crawl is a
+        new snapshot; readers take the latest wave per doc_id); the URL's
+        old terminal frontier_log row is removed because the row is live
+        again. At 100 TB the seen/frontier_log edits map to Iceberg
+        row-level DELETEs (merge-on-read position deletes — O(delete set));
+        this parquet shim rewrites the two tables instead. Returns the
+        number of rows re-enqueued.
+        """
+        from price_crawler_spark.frontier.seen import ShardedCuckoo
+        from price_crawler_spark.functions.urls import canonicalize_with_host
+
+        if not isinstance(self.bloom, ShardedCuckoo):
+            raise ValueError(
+                "invalidate() requires seen_filter='cuckoo' — Bloom bits "
+                "cannot be deleted"
+            )
+        spark = self.spark
+        log = self.store.read(spark, "frontier_log")
+        if log is None or not urls:
+            return 0
+        hashes = (
+            spark.createDataFrame([(u,) for u in urls], "url string")
+            .select(canonicalize_with_host("url").alias("c"))
+            .select(url_hash(F.col("c.canonical_url")).alias("url_hash"))
+            .distinct()
+        )
+        hits = log.join(hashes, "url_hash", "semi").filter(
+            F.col("status") == "fetched"
+        )
+        hit_hashes = hits.select("url_hash")
+        re_rows = (
+            hits.withColumn("attempts", F.lit(0))
+            .withColumn("status", F.lit("pending"))
+            .withColumn("wave", F.lit(self.next_wave()))
+            .select(*FRONTIER_COLS)
+        )
+        seen = self.store.read(spark, "seen")
+        filt = self.store.read(spark, "bloom")
+        seen_rest = seen.join(hit_hashes, "url_hash", "left_anti")
+        filt_deleted = self.bloom.delete(hit_hashes, filt)
+        re_new = (
+            filter_new(re_rows, seen_rest, filt_deleted, self.bloom)
+            .select(*FRONTIER_COLS)
+            .persist()
+        )
+        n = re_new.count()
+        pending = self.store.read(spark, "pending")
+        new_pending = (
+            re_new if pending is None else pending.unionByName(re_new)
+        )
+        self.store.commit(
+            tables_replace={
+                "pending": new_pending,
+                "bloom": self.bloom.insert(
+                    re_new.select("url_hash"), filt_deleted
+                ),
+                "seen": seen_rest.unionByName(re_new.select("url_hash")),
+                "frontier_log": log.join(hit_hashes, "url_hash", "left_anti"),
+            },
+            meta={"next_wave": self.next_wave(), "queries": self.queries},
+        )
+        re_new.unpersist()
         return n
 
     # -- inspection ----------------------------------------------------------

@@ -273,7 +273,11 @@ class QueryCache:
             .unionByName(new.select(*[f.name for f in self._schema.fields]))
             .filter(F.col("expires_at") > F.lit(now))  # expired cleanup
         )
-        # capacity eviction: keep newest max_size (cache.py:36-44)
+        # capacity eviction: keep newest max_size (cache.py:36-44).
+        # DELIBERATELY the package's only unpartitioned global window —
+        # safe ONLY because this very eviction bounds the table at
+        # max_size (≤1000) rows; do NOT copy the pattern to an unbounded
+        # table (use orderBy().limit() / TakeOrderedAndProject there).
         w = Window.orderBy(F.desc("created_at"))
         merged = (
             merged.withColumn("_rn", F.row_number().over(w))

@@ -515,6 +515,112 @@ def test_live_transport_env_gate(spark, tmp_path):
     # the synthetic path; this pins the gate's default
 
 
+def test_cuckoo_crawl_invalidate_refetch_cycle(spark, tmp_path_factory, oracle):
+    """End-to-end cuckoo seen-filter (VERDICT r4 item 3): a full crawl gated
+    by the deletion-capable ShardedCuckoo reproduces the Bloom run's
+    goldens; invalidate() then deletes one fetched URL from the filter +
+    exact seen set, re-enqueues it, and the next wave re-fetches it EXACTLY
+    once — identical spans (deterministic web), every other document
+    untouched, and the URL-seen set restored so later re-discoveries dedup
+    again."""
+    root = str(tmp_path_factory.mktemp("cuckoo_e2e"))
+    run = CrawlRun(
+        spark, root, QUERIES, wave_seconds=WAVE_SECONDS, seen_filter="cuckoo"
+    )
+    run.run(max_waves=8)
+    got = [
+        (r["wave"], r["seq_key"], r["doc_id"], r["store"])
+        for r in run.crawl_order().collect()
+    ]
+    assert got == oracle["fetch_order"]  # cuckoo-gated run == Bloom goldens
+
+    docs_before = run.documents().count()
+    target = (
+        run.frontier()
+        .filter("status = 'fetched' and store = 'pchome'")
+        .orderBy("seq_key")
+        .first()
+    )
+    assert run.invalidate([target["url"]]) == 1
+    # the row is live again: back in pending, gone from the terminal log
+    assert (
+        run.store.read(spark, "pending")
+        .filter(F.col("url_hash") == target["url_hash"])
+        .count()
+        == 1
+    )
+    assert (
+        run.store.read(spark, "frontier_log")
+        .filter(F.col("url_hash") == target["url_hash"])
+        .count()
+        == 0
+    )
+    assert run.run(max_waves=4) >= 1
+
+    docs = run.documents()
+    dup = docs.filter(F.col("doc_id") == target["canonical_url"])
+    assert dup.count() == 2  # exactly one re-fetch
+    spans = [
+        sorted((s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in r["spans"])
+        for r in dup.select("spans").collect()
+    ]
+    assert spans[0] == spans[1]  # deterministic re-crawl snapshot
+    assert docs.count() == docs_before + 1  # nothing else re-fetched
+    assert docs.select("doc_id").distinct().count() == docs_before
+
+    # seen set restored exactly (the re-enqueue path re-added the hash once)
+    seen_tbl = run.store.read(spark, "seen")
+    assert seen_tbl.count() == seen_tbl.distinct().count()
+    assert seen_tbl.filter(F.col("url_hash") == target["url_hash"]).count() == 1
+    # terminal log holds the URL again, frontier drained
+    assert run.frontier().filter("status = 'pending'").count() == 0
+    # a second invalidate of a never-fetched URL is a no-op
+    assert run.invalidate(["https://nowhere.example.com/x"]) == 0
+
+
+def test_bloom_run_rejects_invalidate(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bloominv"))
+    run = CrawlRun(spark, root, QUERIES, wave_seconds=WAVE_SECONDS)
+    run.run(max_waves=1)
+    with pytest.raises(ValueError, match="cuckoo"):
+        run.invalidate(["https://x.example.com/1"])
+
+
+def test_pending_drains_under_persistent_failure(spark, tmp_path_factory):
+    """VERDICT r4 item 6: a host that fails 100% of fetches must not cycle
+    in pending forever — its rows exit to frontier_log as 'failed' after
+    exactly max_retries+1 attempts, the run drains, and the fetch_log's
+    pending_size lineage column records the drain."""
+    from price_crawler_spark.frontier.seeds import STORE_HOST
+
+    host = STORE_HOST["sunfar"]
+    root = str(tmp_path_factory.mktemp("deadhost"))
+    run = CrawlRun(
+        spark, root, QUERIES, wave_seconds=WAVE_SECONDS, fail_hosts=[host]
+    )
+    waves = run.run(max_waves=12)
+    assert waves < 12  # drained, not stuck
+
+    f = run.frontier()
+    assert f.filter("status = 'pending'").count() == 0
+    dead = f.filter(F.col("host") == host)
+    n_dead = dead.count()
+    assert n_dead > 0
+    assert dead.filter("status != 'failed'").count() == 0
+    # max_retries=2 → every dead-host URL attempted exactly 3 times
+    assert dead.filter("attempts != 3").count() == 0
+    log = run.fetch_log().toPandas()
+    assert log[log.host == host].n_scheduled.sum() == 3 * n_dead
+    assert (log[log.host == host].n_ok == 0).all()
+
+    # pending_size: stamped every wave, and the tail drains below the peak
+    per_wave = log.groupby("wave").pending_size.max().sort_index()
+    assert len(per_wave) == waves
+    assert (per_wave > 0).all()
+    assert per_wave.iloc[-1] < per_wave.max()
+
+
 def test_frontier_commit_is_delta_not_full_rewrite(crawl, spark):
     """100 TB write-path invariant (r4): each wave REPLACES only the bounded
     pending table (manifest holds exactly one file group for it) and
