@@ -63,6 +63,26 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def sample_with_retry(
+    measure, n_runs: int, max_extra: int, spread: float = 1.5
+) -> tuple[list[float], int]:
+    """The r5 noise-defence sampling policy, as a pure function (unit-tested
+    without Spark in tests/test_bench_protocol.py): take ``n_runs`` samples;
+    while the median exceeds ``spread`` × the fastest sample — i.e. the
+    official record would contradict the query's own measured capacity —
+    take up to ``max_extra`` more. Clean samples push a co-tenant spike out
+    of the median; a genuinely slow query's tight samples never retry.
+    Returns (all samples, extra samples taken)."""
+    import statistics
+
+    runs = [measure() for _ in range(n_runs)]
+    extra = 0
+    while extra < max_extra and statistics.median(runs) > spread * min(runs):
+        runs.append(measure())
+        extra += 1
+    return runs, extra
+
+
 def _sf(sf_dir: str) -> float:
     import re
 
@@ -301,6 +321,11 @@ def run_engine() -> None:
         run = CrawlRun(
             spark, root, queries=queries, wave_seconds=1e6,
             mega_hosts=list(STORE_HOST.values()),
+            # 64 salt buckets (r5, VERDICT r4 item 8): 7 hosts × 16 buckets
+            # = 112 fetch groups left a ~1.7× straggler task at 32 cores
+            # because per-store synthesis cost differs; 448 groups average
+            # the mix per task. Selection set identical at any bucket count.
+            salt_buckets=int(os.environ.get("SPARK_GRAFT_SALT_BUCKETS", "64")),
         )
         waves = run.run(max_waves=10)
         n_docs = run.documents().count()
@@ -603,14 +628,7 @@ def main() -> None:
             spark.catalog.clearCache()
             return sec
 
-        runs = [_one() for _ in range(n_runs)]
-        extra = 0
-        while (
-            extra < max_retries
-            and statistics.median(runs) > 1.5 * min(runs)
-        ):
-            runs.append(_one())
-            extra += 1
+        runs, extra = sample_with_retry(_one, n_runs, max_retries)
         samples[name] = [round(r, 3) for r in runs]
         retries[name] = extra
         times[name] = round(statistics.median(runs), 3)

@@ -68,6 +68,7 @@ class CrawlRun:
         mega_hosts: list[str] | None = None,
         seen_filter: str = "bloom",
         fail_hosts: list[str] | None = None,
+        salt_buckets: int = 16,
     ):
         self.spark = spark
         self.store = SnapshotStore(root)
@@ -90,6 +91,13 @@ class CrawlRun:
         # audit pending-table drain under a persistently-dead host (a URL
         # must exit to frontier_log after max_retries, never cycle forever)
         self.fail_hosts = fail_hosts
+        # C6 fetch-group granularity: a mega host's quota-selected URLs
+        # split over this many salt buckets. The selected SET is identical
+        # at any bucket count (the final quota rank is exact); more buckets
+        # only shrink the largest fetch task. The throughput bench uses 64
+        # (7 hosts × 16 buckets = 112 groups left a ~1.7× straggler task at
+        # 32 cores — r4 profile); goldens keep the default.
+        self.salt_buckets = salt_buckets
         self.robots = spark.createDataFrame(robots or robots_rows())
         self.mega_hosts = mega_hosts or ["www.coolpc.com.tw"]
         # driver-step wall seconds, accumulated across waves. The wave loop
@@ -180,9 +188,12 @@ class CrawlRun:
             return False
 
         sched, deferred, blocked = politeness.schedule_wave(
-            pending, self.robots, self.wave_seconds, mega_hosts=self.mega_hosts
+            pending, self.robots, self.wave_seconds,
+            mega_hosts=self.mega_hosts, salt_buckets=self.salt_buckets,
         )
-        sched = politeness.with_host_salt(sched, self.mega_hosts)
+        sched = politeness.with_host_salt(
+            sched, self.mega_hosts, buckets=self.salt_buckets
+        )
 
         # persist AND materialize: the commit's five table writes run
         # concurrently, and concurrent jobs hitting a cold cache each

@@ -59,6 +59,8 @@ def main() -> None:
         run = CrawlRun(
             spark, root, queries=queries, wave_seconds=1e6,
             mega_hosts=list(STORE_HOST.values()),
+            # same fetch-group granularity as bench.py --engine (r5)
+            salt_buckets=int(os.environ.get("SPARK_GRAFT_SALT_BUCKETS", "64")),
         )
         waves = run.run(max_waves=10)
         n_docs = run.documents().count()
@@ -71,6 +73,13 @@ def main() -> None:
     stages = aggregate_event_log(evdir, t0)
     phases = {k: round(v, 2) for k, v in phase_seconds.items()}
     top = sorted(stages, key=lambda s: -s["wall_s"])[:8]
+    # straggler ratio of the most expensive stage (the fetch UDF): longest
+    # task vs mean task — VERDICT r4 item 8's "done" bar is < 2×
+    for s in top:
+        if s["tasks"] and s["run_s"]:
+            s["straggler_ratio"] = round(
+                s["max_task_s"] / (s["run_s"] / s["tasks"]), 2
+            )
     print(json.dumps({
         "cpus": cpus,
         "queries": n_queries,
