@@ -83,6 +83,27 @@ def sample_with_retry(
     return runs, extra
 
 
+def warm_until_stable(
+    measure, max_warm: int = 4, improve: float = 0.8
+) -> list[float]:
+    """Discarded warm-up passes, depth-adaptive (pure function, unit-tested
+    in tests/test_bench_protocol.py). One warm-up pass is not always enough:
+    repeats of the IDENTICAL query on a quiet box measured
+    8.9 → 5.5 → 2.9 → 2.4 → 2.0 s (bloom_seen_path, 32c) as JIT compilation
+    and Python-worker reuse deepen — a single-warm-up median lands 1.5-3×
+    above the query's steady-state capacity. Keep warming while each pass
+    improves on the previous by >20% (cur < ``improve`` × prev), up to
+    ``max_warm`` passes; already-stable queries stop after two. Returns the
+    discarded warm-up times (recorded in the artifact, never in the
+    official numbers)."""
+    warms = [measure()]
+    while len(warms) < max_warm:
+        warms.append(measure())
+        if warms[-1] > improve * warms[-2]:
+            break
+    return warms
+
+
 def _sf(sf_dir: str) -> float:
     import re
 
@@ -601,17 +622,21 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_RETRIES extra samples; clean samples push the spike
     # out of the median. All samples + retry counts land in the artifact.
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
+    # Warm-up depth (r5): adaptive, up to this many discarded passes — see
+    # warm_until_stable. The warm-up times land in "queries_warmup_sec" so
+    # the artifact shows how deep each query had to warm.
+    max_warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "4"))
     times: dict[str, float] = {}
     mins: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     retries: dict[str, int] = {}
+    warmups: dict[str, list[float]] = {}
 
     def _bench(name: str, fn, inner_timed: bool = False):
         """fn returns (payload, sec) when inner_timed (the throughput jobs
         time their own hot path, excluding input materialization — same
         definition as every prior round); otherwise wall-time fn()."""
-        ret = fn()  # warm-up: JIT/codegen/broadcast warm, result discarded
-        spark.catalog.clearCache()
+        ret = None
 
         def _one():
             nonlocal ret
@@ -628,6 +653,7 @@ def main() -> None:
             spark.catalog.clearCache()
             return sec
 
+        warmups[name] = [round(w, 3) for w in warm_until_stable(_one, max_warm)]
         runs, extra = sample_with_retry(_one, n_runs, max_retries)
         samples[name] = [round(r, 3) for r in runs]
         retries[name] = extra
@@ -656,6 +682,7 @@ def main() -> None:
         "queries": times,
         "queries_min_sec": mins,  # interference-free capacity per query
         "queries_all_sec": samples,
+        "queries_warmup_sec": warmups,  # discarded adaptive warm-up passes
         "queries_extra_runs": {k: v for k, v in retries.items() if v},
         "runs_per_query": n_runs,
         "sf": _sf(SF_DIR),

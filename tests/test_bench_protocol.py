@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import statistics
 
-from bench import sample_with_retry
+from bench import sample_with_retry, warm_until_stable
 
 
 def _scripted(seq):
@@ -49,3 +49,26 @@ def test_retry_budget_bounds_worst_case():
     )
     assert extra == 4 and len(runs) == 7
     assert statistics.median(runs) > 1.5 * min(runs)  # honestly still noisy
+
+
+def test_warmup_deepens_while_jit_still_improving():
+    """The measured bloom_seen_path cold sequence: each pass improves >20%
+    on the previous, so warming continues to the cap and the samples that
+    follow start at steady state."""
+    seq = [8.92, 5.52, 2.89, 2.39, 2.0]
+    it = iter(seq)
+    warms = warm_until_stable(lambda: next(it), max_warm=4)
+    assert warms == [8.92, 5.52, 2.89, 2.39]  # capped at 4
+    assert next(it) == 2.0  # first real sample is the warm one
+
+
+def test_stable_query_stops_after_two_warmups():
+    it = iter([4.2, 4.1, 4.0, 4.0])
+    warms = warm_until_stable(lambda: next(it), max_warm=4)
+    assert warms == [4.2, 4.1]  # 4.1 > 0.8*4.2 -> already stable
+
+
+def test_warmup_stops_when_improvement_plateaus():
+    it = iter([10.0, 6.0, 5.5, 5.4])
+    warms = warm_until_stable(lambda: next(it), max_warm=6)
+    assert warms == [10.0, 6.0, 5.5]  # 5.5 > 0.8*6.0 -> stop
