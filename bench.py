@@ -333,7 +333,16 @@ def run_engine() -> None:
 
     from price_crawler_spark.frontier.seeds import STORE_HOST
 
-    spark = get_spark("bench-engine", cores=CPUS, shuffle_partitions=CPUS)
+    # 4 tasks per core (r5): the fetch applyInPandas stage's group costs
+    # are heterogeneous by store, and at shuffle_partitions=cores each
+    # reduce task statically owns ~14 groups — the unlucky task IS the
+    # stage wall (measured balance wall/ideal 1.69-1.90, max task = stage
+    # wall). At 4× tasks late binding packs the heavy groups around:
+    # same 1.2M-URL profile, identical CPU (run_sum 8859 vs 8898 s) but
+    # fetch-stage wall 469 -> 348 s, balance 1.25, end-to-end 1,514 ->
+    # 2,140 URLs/s. Bytes-based AQE coalescing can't see Python-UDF CPU
+    # density, so the headroom must come from the initial task count.
+    spark = get_spark("bench-engine", cores=CPUS, shuffle_partitions=4 * CPUS)
     queries = [f"gpu{i:06d}" for i in range(n_queries)]
     with tempfile.TemporaryDirectory() as root:
         t0 = time.time()
@@ -342,10 +351,9 @@ def run_engine() -> None:
         run = CrawlRun(
             spark, root, queries=queries, wave_seconds=1e6,
             mega_hosts=list(STORE_HOST.values()),
-            # 64 salt buckets (r5, VERDICT r4 item 8): 7 hosts × 16 buckets
-            # = 112 fetch groups left a ~1.7× straggler task at 32 cores
-            # because per-store synthesis cost differs; 448 groups average
-            # the mix per task. Selection set identical at any bucket count.
+            # 64 salt buckets (r5): smaller fetch groups for the 4×-tasks
+            # late binding above (measured balance 1.69 vs 1.90 at 16
+            # buckets). Selection set identical at any bucket count.
             salt_buckets=int(os.environ.get("SPARK_GRAFT_SALT_BUCKETS", "64")),
         )
         waves = run.run(max_waves=10)

@@ -94,9 +94,11 @@ class CrawlRun:
         # C6 fetch-group granularity: a mega host's quota-selected URLs
         # split over this many salt buckets. The selected SET is identical
         # at any bucket count (the final quota rank is exact); more buckets
-        # only shrink the largest fetch task. The throughput bench uses 64
-        # (7 hosts × 16 buckets = 112 groups left a ~1.7× straggler task at
-        # 32 cores — r4 profile); goldens keep the default.
+        # only shrink the largest fetch group. The throughput bench uses 64
+        # with 4 reduce tasks per core — group costs are heterogeneous by
+        # store, and the profiled A/B (BASELINE.md r5) shows late-binding
+        # task count, not bucket count, is what removes the straggler.
+        # Goldens keep the default.
         self.salt_buckets = salt_buckets
         self.robots = spark.createDataFrame(robots or robots_rows())
         self.mega_hosts = mega_hosts or ["www.coolpc.com.tw"]
